@@ -1,0 +1,111 @@
+"""Native (C) host-runtime components, compiled on demand with the system
+compiler and loaded via ctypes. No pip/pybind dependency.
+
+The TPU compute path is JAX/Pallas; these native pieces are the host
+runtime around it (checksums, fast host-side block codec for tiny inputs
+and the CLI's pass-through paths) — the analog of the reference's C core
+being its *entire* runtime.
+
+Set LZ4_TPU_NO_NATIVE=1 to force the pure-python fallbacks.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import sysconfig
+import tempfile
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB = None
+
+
+class _BuildError(RuntimeError):
+    pass
+
+
+def _so_path() -> str:
+    tag = sysconfig.get_platform().replace("-", "_")
+    return os.path.join(_HERE, f"_lz4t_native_{tag}.so")
+
+
+def _sources():
+    return [os.path.join(_HERE, f) for f in sorted(os.listdir(_HERE))
+            if f.endswith(".c")]
+
+
+def _build(so: str) -> None:
+    srcs = _sources()
+    cc = os.environ.get("CC", "cc")
+    cmd = [cc, "-O3", "-fPIC", "-shared", "-std=c11", "-Wall",
+           "-o", so] + srcs
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        raise _BuildError(str(e))
+    if proc.returncode != 0:
+        raise _BuildError(proc.stderr)
+
+
+def _load() -> ctypes.CDLL | None:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if os.environ.get("LZ4_TPU_NO_NATIVE"):
+        return None
+    so = _so_path()
+    try:
+        srcs = _sources()
+        if (not os.path.exists(so)
+                or any(os.path.getmtime(s) > os.path.getmtime(so) for s in srcs)):
+            # Build into a temp file then rename: atomic under concurrent use.
+            fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
+            os.close(fd)
+            try:
+                _build(tmp)
+                os.replace(tmp, so)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+        _LIB = ctypes.CDLL(so)
+    except (OSError, _BuildError) as e:
+        print(f"lz4_tpu: native backend unavailable ({e}); using python fallbacks",
+              file=sys.stderr)
+        return None
+    _configure(_LIB)
+    return _LIB
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.lz4t_xxh32.restype = ctypes.c_uint32
+    lib.lz4t_xxh32.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32]
+    lib.lz4t_xxh32_rounds.restype = None
+    lib.lz4t_xxh32_rounds.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                      ctypes.POINTER(ctypes.c_uint32)]
+
+
+class _XXH:
+    """ctypes facade matching what lz4_tpu.xxh32 expects."""
+
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+
+    def xxh32(self, data, seed: int = 0) -> int:
+        data = bytes(data)
+        return self._lib.lz4t_xxh32(data, len(data), seed & 0xFFFFFFFF)
+
+    def xxh32_rounds(self, data, accs):
+        data = bytes(data)
+        arr = (ctypes.c_uint32 * 4)(*[a & 0xFFFFFFFF for a in accs])
+        self._lib.lz4t_xxh32_rounds(data, len(data), arr)
+        return [arr[0], arr[1], arr[2], arr[3]]
+
+
+def __getattr__(name: str):
+    if name == "xxh":
+        lib = _load()
+        if lib is None:
+            raise ImportError("native backend unavailable")
+        return _XXH(lib)
+    raise AttributeError(name)

@@ -1,0 +1,62 @@
+"""Deterministic test-corpus generator with tunable compressibility.
+
+Fills the role of the reference's tests/datagen.c (parametrized match
+probability `-P#`, seeded determinism `-s#`) with an original design:
+a seeded numpy Generator emits a mix of back-references (window-limited)
+and literals drawn from a skewed alphabet, so `match_prob` directly
+controls the achievable LZ4 ratio.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def gen_buffer(size: int, match_prob: float = 0.7, seed: int = 0,
+               lit_alphabet: int = 32, window: int = 65535) -> bytes:
+    """Generate `size` deterministic bytes.
+
+    match_prob ~0.0 → incompressible noise; ~0.7 → LZ4-friendly (~2x);
+    ~0.95 → highly repetitive.
+    """
+    rng = np.random.default_rng(seed)
+    out = np.empty(size, dtype=np.uint8)
+    pos = 0
+    # seed run of literals so back-references have history
+    boot = min(size, 256)
+    out[:boot] = rng.integers(0, lit_alphabet, boot, dtype=np.uint8) + ord("0")
+    pos = boot
+    # draw decisions in bulk for speed
+    batch = 4096
+    while pos < size:
+        decisions = rng.random(batch)
+        lits = rng.integers(0, lit_alphabet, batch, dtype=np.uint8) + ord("0")
+        offs = rng.integers(1, window, batch)
+        lens = (rng.pareto(1.7, batch) * 4 + 4).astype(np.int64).clip(4, 512)
+        for i in range(batch):
+            if pos >= size:
+                break
+            if decisions[i] < match_prob and pos > 16:
+                off = int(offs[i]) % pos
+                off = max(off, 1)
+                length = min(int(lens[i]), size - pos)
+                src = pos - off
+                for j in range(length):   # may overlap, copy serially
+                    out[pos + j] = out[src + j]
+                pos += length
+            else:
+                out[pos] = lits[i]
+                pos += 1
+    return out.tobytes()
+
+
+def mixed_corpus(total: int, seed: int = 0) -> bytes:
+    """A Silesia-like mixed-compressibility corpus: thirds of text-like,
+    binary-like, and near-incompressible data."""
+    third = total // 3
+    parts = [
+        gen_buffer(third, match_prob=0.80, seed=seed, lit_alphabet=26),
+        gen_buffer(third, match_prob=0.55, seed=seed + 1, lit_alphabet=200),
+        gen_buffer(total - 2 * third, match_prob=0.05, seed=seed + 2,
+                   lit_alphabet=250),
+    ]
+    return b"".join(parts)
