@@ -106,7 +106,9 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, *, cap_out: int,
 
     # ---- step 2: orbit of 0 under f (pointer doubling) ------------------
     f_ext = jnp.concatenate([f, jnp.array([cap_in], jnp.int32)])
-    reach = jnp.zeros(cap_in + 1, jnp.int32).at[0].set(1)
+    # derive from f_ext so the carry's sharding/varying type matches under
+    # shard_map (a fresh jnp.zeros would be axis-unvarying)
+    reach = (f_ext * 0).at[0].set(1)
 
     def orbit_round(_, state):
         reach, F = state

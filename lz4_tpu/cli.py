@@ -1,0 +1,365 @@
+"""lz4-compatible command-line interface — the L5 layer.
+
+Flag-grammar parity with programs/lz4cli.c:447-708: -1..-12, --fast[=#],
+-d/-z/-t/-b/-l, -c/-f/-q/-v, -m/-r, -B4..7/-BD/-BX, -D dict,
+--content-size, --no-frame-crc, --sparse/--no-sparse, --rm, --list,
+-T#/--threads, env vars LZ4_CLEVEL / LZ4_NBWORKERS (lz4cli.c:363-391),
+argv[0] aliases lz4cat / unlz4 (lz4cli.c:433-444), console-safety
+refusals (lz4cli.c:771-828).
+
+The heavy lifting lives in lz4_tpu.io.engine (L4) and the block
+backends; `--backend tpu|host` selects the device engine explicitly
+(default: device when JAX sees an accelerator and inputs are big
+enough).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+from lz4_tpu.constants import LZ4HC_CLEVEL_MAX
+from lz4_tpu.io.engine import (
+    IoError,
+    IoPrefs,
+    compress_file,
+    decompress_file,
+    expand_paths,
+    format_list_output,
+)
+
+PROGRAM = "lz4-tpu"
+USAGE = f"""Usage: {PROGRAM} [arg] [input] [output]
+input/output defaults to stdin/stdout; `-` means stdin/stdout.
+
+Arguments:
+ -1..-12   compression level (1 fast, default; 2..12 HC tiers)
+ --fast[=#] ultra-fast mode (acceleration #, default 1)
+ -d        decompression (default for .lz4 extension)
+ -z        force compression
+ -t        test compressed file integrity
+ -b#       benchmark file(s), level #
+ -l        legacy lz4 format (0x184C2102)
+ -D FILE   use FILE as dictionary
+ -f        overwrite output without prompting
+ -c        force write to stdout
+ -m        multiple input files (implies -c off)
+ -r        recurse directories (implies -m)
+ -B#       block size [4-7] (default 4 = 64KB) or bytes (>=32)
+ -BD       dependent/linked blocks
+ -BX       enable block checksums
+ --no-frame-crc    disable content checksum
+ --content-size    store uncompressed size in frame header
+ --sparse / --no-sparse   sparse file support (default on)
+ --rm      remove source file after success
+ --list    list frame info of .lz4 files (with -m for several)
+ -T#       worker hint (accepted for compatibility; the device grid
+           is the worker pool)
+ --backend host|tpu  force the block-codec backend
+ -q        quiet; -v verbose
+ -V        display version
+ -h/-H     this help
+"""
+VERSION = "lz4-tpu 0.1.0 (formats: LZ4 frame v1.6.x compatible)"
+
+
+class CliError(SystemExit):
+    def __init__(self, msg: str, code: int = 1):
+        sys.stderr.write(f"{PROGRAM}: {msg}\n")
+        super().__init__(code)
+
+
+def _select_backend(name: str | None, level: int):
+    if name == "host":
+        from lz4_tpu.block.backend import HostBackend
+        return HostBackend()
+    if name == "tpu":
+        from lz4_tpu.parallel.engine import TpuBackend
+        return TpuBackend()
+    # auto: device path for the fast tier (HC currently host-side)
+    try:
+        from lz4_tpu.parallel.engine import TpuBackend
+        return TpuBackend()
+    except Exception:
+        from lz4_tpu.block.backend import HostBackend
+        return HostBackend()
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv if argv is None else argv)
+    prog = os.path.basename(argv[0]) if argv else PROGRAM
+    args = argv[1:]
+
+    mode = "auto"            # auto|compress|decompress|test|bench|list
+    prefs = IoPrefs()
+    level_env = os.environ.get("LZ4_CLEVEL")
+    if level_env and level_env.isdigit():
+        prefs.level = int(level_env)
+    nbw_env = os.environ.get("LZ4_NBWORKERS")
+    if nbw_env and nbw_env.isdigit():
+        prefs.nb_workers = int(nbw_env)
+    multiple = False
+    recursive = False
+    force_stdout = False
+    backend_name = None
+    bench_levels: list[int] = []
+    files: list[str] = []
+
+    # argv[0] aliases (lz4cli.c:433-444)
+    if prog in ("lz4cat", "unlz4"):
+        mode = "decompress"
+        force_stdout = True
+        prefs.overwrite = True
+
+    i = 0
+    while i < len(args):
+        a = args[i]
+        i += 1
+        if a == "--":
+            files.extend(args[i:])
+            break
+        if not a.startswith("-") or a == "-":
+            files.append(a)
+            continue
+        if a.startswith("--"):
+            opt = a[2:]
+            if opt == "help":
+                print(USAGE)
+                return 0
+            elif opt == "version":
+                print(VERSION)
+                return 0
+            elif opt == "compress":
+                mode = "compress"
+            elif opt in ("decompress", "uncompress"):
+                mode = "decompress"
+            elif opt == "test":
+                mode = "test"
+            elif opt == "list":
+                mode = "list"
+            elif opt == "force":
+                prefs.overwrite = True
+            elif opt == "stdout" or opt == "to-stdout":
+                force_stdout = True
+            elif opt == "multiple":
+                multiple = True
+            elif opt == "recursive":
+                recursive = multiple = True
+            elif opt == "quiet":
+                prefs.verbosity = max(0, prefs.verbosity - 1)
+            elif opt == "verbose":
+                prefs.verbosity += 1
+            elif opt == "keep":
+                prefs.remove_src_file = False
+            elif opt == "rm":
+                prefs.remove_src_file = True
+            elif opt == "sparse":
+                prefs.sparse_file_support = True
+            elif opt == "no-sparse":
+                prefs.sparse_file_support = False
+            elif opt == "content-size":
+                prefs.content_size_flag = True
+            elif opt == "no-content-size":
+                prefs.content_size_flag = False
+            elif opt == "no-frame-crc":
+                prefs.stream_checksum = False
+            elif opt == "no-crc":
+                prefs.stream_checksum = False
+                prefs.block_checksum = False
+            elif opt == "favor-decSpeed":
+                prefs.favor_dec_speed = True
+            elif opt == "fast" or opt.startswith("fast="):
+                mode = "compress" if mode == "auto" else mode
+                prefs.level = 1
+                prefs.acceleration = int(opt[5:]) if "=" in opt else 1
+            elif opt.startswith("threads="):
+                prefs.nb_workers = int(opt[8:])
+            elif opt.startswith("backend="):
+                backend_name = opt[8:]
+            elif opt == "backend":
+                if i >= len(args):
+                    raise CliError("--backend needs an argument")
+                backend_name = args[i]
+                i += 1
+            else:
+                raise CliError(f"unknown option --{opt}")
+            continue
+        # bundled short options
+        j = 1
+        while j < len(a):
+            c = a[j]
+            j += 1
+            if c.isdigit():
+                lvl = c
+                while j < len(a) and a[j].isdigit():
+                    lvl += a[j]
+                    j += 1
+                prefs.level = min(int(lvl), LZ4HC_CLEVEL_MAX)
+            elif c == "z":
+                mode = "compress"
+            elif c == "d":
+                mode = "decompress"
+            elif c == "t":
+                mode = "test"
+            elif c == "f":
+                prefs.overwrite = True
+            elif c == "c":
+                force_stdout = True
+            elif c == "k":
+                prefs.remove_src_file = False
+            elif c == "m":
+                multiple = True
+            elif c == "r":
+                recursive = multiple = True
+            elif c == "q":
+                prefs.verbosity = max(0, prefs.verbosity - 1)
+            elif c == "v":
+                prefs.verbosity += 1
+            elif c == "V":
+                print(VERSION)
+                return 0
+            elif c in ("h", "H"):
+                print(USAGE)
+                return 0
+            elif c == "l":
+                prefs.legacy_format = True
+            elif c == "D":
+                rest = a[j:]
+                j = len(a)
+                if not rest:
+                    if i >= len(args):
+                        raise CliError("-D needs a dictionary file")
+                    rest = args[i]
+                    i += 1
+                prefs.dictionary_filename = rest
+            elif c == "T":
+                num = ""
+                while j < len(a) and a[j].isdigit():
+                    num += a[j]
+                    j += 1
+                prefs.nb_workers = int(num) if num else 0
+            elif c == "b":
+                mode = "bench"
+                num = ""
+                while j < len(a) and a[j].isdigit():
+                    num += a[j]
+                    j += 1
+                bench_levels = [int(num)] if num else [prefs.level]
+            elif c == "e":
+                num = ""
+                while j < len(a) and a[j].isdigit():
+                    num += a[j]
+                    j += 1
+                if bench_levels and num:
+                    bench_levels = list(range(bench_levels[0],
+                                              int(num) + 1))
+            elif c == "B":
+                if j < len(a) and a[j] == "D":
+                    prefs.block_independence = False
+                    j += 1
+                elif j < len(a) and a[j] == "X":
+                    prefs.block_checksum = True
+                    j += 1
+                else:
+                    num = ""
+                    while j < len(a) and a[j].isdigit():
+                        num += a[j]
+                        j += 1
+                    if not num:
+                        raise CliError("-B needs an argument")
+                    v = int(num)
+                    if 4 <= v <= 7:
+                        prefs.block_size_id = v
+                    elif v >= 32:
+                        # custom byte size rounds down to a standard id
+                        for bsid in (7, 6, 5, 4):
+                            from lz4_tpu.constants import BLOCK_SIZES
+                            if v >= BLOCK_SIZES[bsid]:
+                                prefs.block_size_id = bsid
+                                break
+                        else:
+                            prefs.block_size_id = 4
+                    else:
+                        raise CliError(f"invalid block size {v}")
+            else:
+                raise CliError(f"unknown option -{c}")
+    return _dispatch(mode, prefs, files, multiple, recursive,
+                     force_stdout, backend_name, bench_levels)
+
+
+def _dispatch(mode, prefs, files, multiple, recursive, force_stdout,
+              backend_name, bench_levels) -> int:
+    backend = _select_backend(backend_name, prefs.level)
+
+    if mode == "list":
+        if not files:
+            raise CliError("--list needs at least one file")
+        print(format_list_output(expand_paths(files, recursive),
+                                 prefs.verbosity >= 3))
+        return 0
+
+    if mode == "bench":
+        from lz4_tpu.bench_harness import bench_files
+        bench_files(files or ["-"], bench_levels or [1], prefs,
+                    backend=backend)
+        return 0
+
+    if not files:
+        files = ["-"]
+
+    if mode == "auto":
+        mode = ("decompress"
+                if files[0].endswith(".lz4") and files[0] != "-"
+                else "compress")
+
+    if mode == "test":
+        prefs.test_mode = True
+        mode = "decompress"
+
+    # console-safety refusals (lz4cli.c:771-828)
+    if mode == "compress" and force_stdout is False and files[0] == "-" \
+            and sys.stdout.isatty():
+        raise CliError("refusing to write compressed data to a console; "
+                       "use -c to force")
+
+    if multiple:
+        paths = expand_paths(files, recursive)
+        rc = 0
+        for p in paths:
+            try:
+                if mode == "compress":
+                    compress_file(p, None if not force_stdout else "-",
+                                  prefs, backend=backend)
+                else:
+                    decompress_file(
+                        p, None if not force_stdout else "-", prefs,
+                        backend=backend)
+            except (IoError, OSError, ValueError) as e:
+                sys.stderr.write(f"{PROGRAM}: {p}: {e}\n")
+                rc = 1
+        return rc
+
+    src = files[0]
+    dst = files[1] if len(files) > 1 else ("-" if force_stdout else None)
+    if src == "-" and dst is None:
+        dst = "-"
+    try:
+        if mode == "compress":
+            tin, tout = compress_file(src, dst, prefs, backend=backend)
+            if prefs.verbosity >= 2 and dst != "-":
+                pct = 100.0 * tout / tin if tin else 0.0
+                sys.stderr.write(
+                    f"Compressed {tin} bytes into {tout} bytes ==> "
+                    f"{pct:.2f}%\n")
+        else:
+            tin, tout = decompress_file(src, dst, prefs, backend=backend)
+            if prefs.verbosity >= 2 and prefs.test_mode:
+                sys.stderr.write(f"{src:30s}: decoded {tout} bytes\n")
+            elif prefs.verbosity >= 2 and dst != "-":
+                sys.stderr.write(f"Decoded {tout} bytes\n")
+    except (IoError, OSError, ValueError) as e:
+        raise CliError(str(e))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

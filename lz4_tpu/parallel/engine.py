@@ -1,0 +1,277 @@
+"""Data-parallel compression engine over a TPU device mesh.
+
+This is the TPU-native analog of the reference CLI's multithreaded engine
+(programs/lz4io.c:460-762, 1125-1368): where the reference fans 4 MB
+chunks out to a pthread pool and reorders results through a rank-keyed
+WriteRegister (lz4io.c:465-635), this engine
+
+  * shards a batch of blocks over a `jax.sharding.Mesh` ("data" axis =
+    the worker pool; "stream" axis = independent frame streams),
+  * runs the vectorized block codec (encode_jax / decode_jax) on every
+    device's shard simultaneously,
+  * recovers frame ordering with an all-gather of per-block compressed
+    sizes + exclusive prefix sum (the deterministic replacement for the
+    WriteRegister reorder buffer), and
+  * propagates the linked-mode 64 KB rolling history between
+    neighbouring shards with `ppermute` over ICI (the reference's
+    serial prefix copy, lz4io.c:741-744, becomes a ring shift).
+
+Single-process hosts see all local devices through one mesh; multi-host
+deployment shards the leading axis over processes (jax.distributed),
+with DCN carrying only the gathered compressed sizes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lz4_tpu.block.decode_jax import decode_blocks
+from lz4_tpu.block.encode_jax import DICT_CAP, encode_blocks
+from lz4_tpu.constants import compress_bound
+
+
+def _pad_cap(n: int, floor: int = 256) -> int:
+    cap = floor
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def default_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# sharded batch codec (pjit-style: annotate shardings, let XLA partition)
+# ---------------------------------------------------------------------------
+
+class ShardedCodec:
+    """Batched block codec whose batch axis is sharded over a mesh.
+
+    Every per-block pass in encode/decode is independent across the
+    batch, so sharding the batch dimension partitions the whole program
+    with zero communication; the only collective is the compressed-size
+    gather used for ordered frame assembly.
+    """
+
+    def __init__(self, mesh: Mesh | None = None, axis: str = "data"):
+        self.mesh = mesh or default_mesh(axis=axis)
+        self.axis = axis
+        self._shard = NamedSharding(self.mesh, P(axis))
+        self._repl = NamedSharding(self.mesh, P())
+
+    @property
+    def n_devices(self) -> int:
+        return int(np.prod(list(self.mesh.shape.values())))
+
+    def _put(self, arr):
+        return jax.device_put(arr, self._shard)
+
+    def encode(self, src, lens, dict_bufs, dict_lens, *, cap_n, has_dict):
+        src, lens = self._put(src), self._put(lens)
+        dict_bufs, dict_lens = self._put(dict_bufs), self._put(dict_lens)
+        return encode_blocks(src, lens, dict_bufs, dict_lens,
+                             cap_n=cap_n, has_dict=has_dict)
+
+    def decode(self, comp, lens, dict_bufs, dict_lens, *, cap_out, has_dict):
+        comp, lens = self._put(comp), self._put(lens)
+        dict_bufs, dict_lens = self._put(dict_bufs), self._put(dict_lens)
+        return decode_blocks(comp, lens, dict_bufs, dict_lens,
+                             cap_out=cap_out, has_dict=has_dict)
+
+
+# ---------------------------------------------------------------------------
+# shard_map pipeline step: linked-mode encode with ICI history rotation
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cap_n", "mesh", "axis"))
+def _linked_encode_step(src, lens, head_dict, head_dict_len, *,
+                        cap_n: int, mesh: Mesh, axis: str):
+    """One data-parallel linked-mode step over the mesh.
+
+    src:  uint8[B, cap_n] — B consecutive blocks of one stream, B
+          divisible by the mesh size; block i's history is block i-1's
+          tail (intra-shard: local slice; across shards: ppermute).
+    head_dict: uint8[1, DICT_CAP] — history preceding block 0
+          (right-aligned), replicated.
+    Returns (comp uint8[B, bound], csizes int32[B], offsets int32[B],
+    total int32): offsets = ordered frame placement (exclusive prefix
+    sum of csizes — the WriteRegister analog).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    ndev = mesh.shape[axis]
+
+    def step(src_l, lens_l, head_dict, head_dict_len):
+        b = src_l.shape[0]
+        # tail of each local block = next block's history
+        tails = src_l[:, -DICT_CAP:] if cap_n >= DICT_CAP else jnp.pad(
+            src_l, ((0, 0), (DICT_CAP - cap_n, 0)))
+        tail_lens = jnp.minimum(lens_l, DICT_CAP)
+        # shift right by one block within the shard
+        prev_tails = jnp.roll(tails, 1, axis=0)
+        prev_lens = jnp.roll(tail_lens, 0 if b == 1 else 1, axis=0)
+        # the shard's first block needs the previous shard's last tail:
+        # a ring permute over ICI (lz4io.c:741-744 serial copy analog)
+        last_tail = tails[-1:]
+        last_len = tail_lens[-1:]
+        nbr_tail = jax.lax.ppermute(
+            last_tail, axis, [(i, (i + 1) % ndev) for i in range(ndev)])
+        nbr_len = jax.lax.ppermute(
+            last_len, axis, [(i, (i + 1) % ndev) for i in range(ndev)])
+        my_idx = jax.lax.axis_index(axis)
+        first_tail = jnp.where(my_idx == 0, head_dict, nbr_tail)
+        first_len = jnp.where(my_idx == 0, head_dict_len, nbr_len)
+        dict_bufs = prev_tails.at[0].set(first_tail[0])
+        dict_lens = prev_lens.at[0].set(first_len[0])
+        comp, csizes = encode_blocks(src_l, lens_l, dict_bufs, dict_lens,
+                                     cap_n=cap_n, has_dict=True)
+        # ordered assembly: gather every shard's sizes, prefix-sum
+        all_sizes = jax.lax.all_gather(csizes, axis, tiled=True)
+        cum = jnp.cumsum(all_sizes)
+        offs_all = cum - all_sizes
+        offsets = jax.lax.dynamic_slice_in_dim(offs_all, my_idx * b, b)
+        # psum is provably replicated (shard_map out_spec P() check)
+        total = jax.lax.psum(jnp.sum(csizes), axis)
+        return comp, csizes, offsets, total[None]
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis), P()),
+    )(src, lens, head_dict, head_dict_len)
+
+
+def linked_encode_step(src, lens, head_dict, head_dict_len, *, cap_n,
+                       mesh, axis="data"):
+    """Public wrapper (mesh passed positionally-hashable for jit)."""
+    return _linked_encode_step(src, lens, head_dict, head_dict_len,
+                               cap_n=cap_n, mesh=mesh, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# BlockBackend implementation over the device codec
+# ---------------------------------------------------------------------------
+
+class TpuBackend:
+    """BlockBackend (lz4_tpu.block.backend protocol) running block batches
+    through the vectorized device codec; HC levels (>=2) fall back to the
+    host HC tier (quality-first path, to be kernelized in a later round).
+    Buckets blocks by padded capacity to bound recompilation."""
+
+    def __init__(self, codec: ShardedCodec | None = None,
+                 min_device_size: int = 4096):
+        self.codec = codec
+        self.min_device_size = min_device_size
+
+    def _host(self):
+        from lz4_tpu.block.backend import HostBackend
+        return HostBackend()
+
+    def _round_batch(self, b: int) -> int:
+        nd = self.codec.n_devices if self.codec else 1
+        return -(-b // nd) * nd
+
+    def compress_batch(self, blocks, *, level=0, acceleration=1,
+                       dict_prefixes=None):
+        if level >= 2:
+            return self._host().compress_batch(
+                blocks, level=level, acceleration=acceleration,
+                dict_prefixes=dict_prefixes)
+        if not blocks:
+            return []
+        if max(len(b) for b in blocks) < self.min_device_size:
+            return self._host().compress_batch(
+                blocks, level=level, acceleration=acceleration,
+                dict_prefixes=dict_prefixes)
+        has_dict = dict_prefixes is not None and any(
+            d for d in dict_prefixes)
+        cap_n = _pad_cap(max(len(b) for b in blocks))
+        B = self._round_batch(len(blocks))
+        src = np.zeros((B, cap_n), np.uint8)
+        lens = np.zeros(B, np.int32)
+        for i, blk in enumerate(blocks):
+            src[i, : len(blk)] = np.frombuffer(blk, np.uint8)
+            lens[i] = len(blk)
+        dict_bufs = np.zeros((B, DICT_CAP), np.uint8)
+        dict_lens = np.zeros(B, np.int32)
+        if has_dict:
+            for i, d in enumerate(dict_prefixes):
+                if d:
+                    d = bytes(d)[-DICT_CAP:]
+                    dict_bufs[i, DICT_CAP - len(d):] = np.frombuffer(
+                        d, np.uint8)
+                    dict_lens[i] = len(d)
+        if self.codec is not None:
+            out, csizes = self.codec.encode(
+                src, lens, dict_bufs, dict_lens, cap_n=cap_n,
+                has_dict=has_dict)
+        else:
+            out, csizes = encode_blocks(
+                jnp.asarray(src), jnp.asarray(lens), jnp.asarray(dict_bufs),
+                jnp.asarray(dict_lens), cap_n=cap_n, has_dict=has_dict)
+        out = np.asarray(out)
+        csizes = np.asarray(csizes)
+        return [out[i, : csizes[i]].tobytes() for i in range(len(blocks))]
+
+    def decompress_batch(self, blocks, max_outs, *, dict_prefixes=None):
+        if not blocks:
+            return []
+        if max(len(b) for b in blocks) < self.min_device_size and \
+           max(max_outs) < self.min_device_size:
+            return self._host().decompress_batch(
+                blocks, max_outs, dict_prefixes=dict_prefixes)
+        from lz4_tpu.block.decode_jax import DICT_CAP as DCAP
+        from lz4_tpu.block.ref_codec import BlockDecodeError
+        has_dict = dict_prefixes is not None and any(
+            d for d in dict_prefixes)
+        cap_in = _pad_cap(max(len(b) for b in blocks))
+        cap_out = _pad_cap(max(max_outs))
+        B = self._round_batch(len(blocks))
+        comp = np.zeros((B, cap_in), np.uint8)
+        lens = np.zeros(B, np.int32)
+        for i, blk in enumerate(blocks):
+            comp[i, : len(blk)] = np.frombuffer(blk, np.uint8)
+            lens[i] = len(blk)
+        dict_bufs = np.zeros((B, DCAP), np.uint8)
+        dict_lens = np.zeros(B, np.int32)
+        if has_dict:
+            for i, d in enumerate(dict_prefixes):
+                if d:
+                    d = bytes(d)[-DCAP:]
+                    dict_bufs[i, DCAP - len(d):] = np.frombuffer(d, np.uint8)
+                    dict_lens[i] = len(d)
+        if self.codec is not None:
+            out, out_lens, errs = self.codec.decode(
+                comp, lens, dict_bufs, dict_lens, cap_out=cap_out,
+                has_dict=has_dict)
+        else:
+            out, out_lens, errs = decode_blocks(
+                jnp.asarray(comp), jnp.asarray(lens), jnp.asarray(dict_bufs),
+                jnp.asarray(dict_lens), cap_out=cap_out, has_dict=has_dict)
+        out = np.asarray(out)
+        out_lens = np.asarray(out_lens)
+        errs = np.asarray(errs)
+        res = []
+        for i in range(len(blocks)):
+            if errs[i]:
+                raise BlockDecodeError(f"malformed block {i}")
+            if out_lens[i] > max_outs[i]:
+                raise BlockDecodeError(
+                    f"block {i} decodes to {out_lens[i]} > cap {max_outs[i]}")
+            res.append(out[i, : out_lens[i]].tobytes())
+        return res
+
+
+def install_tpu_backend(mesh: Mesh | None = None) -> TpuBackend:
+    """Make the TPU engine the process-wide default block backend."""
+    from lz4_tpu.block.backend import set_default_backend
+    be = TpuBackend(ShardedCodec(mesh) if (mesh or len(jax.devices()) > 1)
+                    else None)
+    set_default_backend(be)
+    return be

@@ -25,27 +25,33 @@ def gen_buffer(size: int, match_prob: float = 0.7, seed: int = 0,
     boot = min(size, 256)
     out[:boot] = rng.integers(0, lit_alphabet, boot, dtype=np.uint8) + ord("0")
     pos = boot
-    # draw decisions in bulk for speed
+    # draw decisions in bulk; each op is a vectorized slice copy
     batch = 4096
     while pos < size:
         decisions = rng.random(batch)
-        lits = rng.integers(0, lit_alphabet, batch, dtype=np.uint8) + ord("0")
+        lit_lens = rng.integers(1, 8, batch)
+        lits = rng.integers(0, lit_alphabet, (batch, 8), dtype=np.uint8) \
+            + ord("0")
         offs = rng.integers(1, window, batch)
         lens = (rng.pareto(1.7, batch) * 4 + 4).astype(np.int64).clip(4, 512)
         for i in range(batch):
             if pos >= size:
                 break
             if decisions[i] < match_prob and pos > 16:
-                off = int(offs[i]) % pos
-                off = max(off, 1)
+                off = max(int(offs[i]) % pos, 1)
                 length = min(int(lens[i]), size - pos)
                 src = pos - off
-                for j in range(length):   # may overlap, copy serially
-                    out[pos + j] = out[src + j]
+                if off >= length:
+                    out[pos: pos + length] = out[src: src + length]
+                else:   # overlap: the match repeats an off-period pattern
+                    reps = -(-length // off)
+                    out[pos: pos + length] = np.tile(
+                        out[src: pos], reps)[:length]
                 pos += length
             else:
-                out[pos] = lits[i]
-                pos += 1
+                ll = min(int(lit_lens[i]), size - pos)
+                out[pos: pos + ll] = lits[i, :ll]
+                pos += ll
     return out.tobytes()
 
 
