@@ -36,7 +36,15 @@ class BlockBackend(Protocol):
 
 
 class HostBackend:
-    """numpy/C block codec — the default host path."""
+    """Host block codec: native C fast path (lz4_tpu.native.blockcodec)
+    with the numpy oracle as fallback; HC levels use the python HC tier."""
+
+    def __init__(self):
+        try:
+            from lz4_tpu import native
+            self._native = native.blockcodec
+        except Exception:
+            self._native = None
 
     def compress_batch(self, blocks, *, level=0, acceleration=1,
                        dict_prefixes=None):
@@ -47,6 +55,9 @@ class HostBackend:
             d = dict_prefixes[i] if dict_prefixes else None
             if level >= 2:
                 out.append(compress_block_hc(b, level=level, dict_prefix=d))
+            elif self._native is not None:
+                out.append(self._native.compress(
+                    b, dict_prefix=d, acceleration=max(1, acceleration)))
             else:
                 out.append(compress_block(b, acceleration=max(1, acceleration),
                                           dict_prefix=d))
@@ -57,7 +68,11 @@ class HostBackend:
         out = []
         for i, b in enumerate(blocks):
             d = dict_prefixes[i] if dict_prefixes else None
-            out.append(decompress_block(b, max_outs[i], dict_prefix=d))
+            if self._native is not None:
+                out.append(self._native.decompress(b, max_outs[i],
+                                                   dict_prefix=d))
+            else:
+                out.append(decompress_block(b, max_outs[i], dict_prefix=d))
         return out
 
 

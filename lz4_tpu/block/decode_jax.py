@@ -104,23 +104,20 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, *, cap_out: int,
     f = jnp.where(is_last | tok_bad, jnp.int32(cap_in),
                   jnp.minimum(next_p, cap_in))
 
-    # ---- step 2: orbit of 0 under f (pointer doubling) ------------------
+    # ---- step 2: orbit of 0 under f (gather-only binary lifting) --------
+    # TPU scatters serialize, so instead of a reach-set scatter we build
+    # jump tables F_k = f^(2^k) and greedily descend from 0 toward every
+    # position p: the walk lands exactly on p iff p starts a real token.
     f_ext = jnp.concatenate([f, jnp.array([cap_in], jnp.int32)])
-    # derive from f_ext so the carry's sharding/varying type matches under
-    # shard_map (a fresh jnp.zeros would be axis-unvarying)
-    reach = (f_ext * 0).at[0].set(1)
-
-    def orbit_round(_, state):
-        reach, F = state
-        reach = reach.at[F].max(reach)
-        F = jnp.take(F, F)
-        return reach, F
-
-    # strictly-increasing f ⇒ orbit length ≤ cap_in/3 + 1
-    n_rounds = _ceil_log2(cap_in)
-    reach, _ = jax.lax.fori_loop(0, n_rounds, orbit_round, (reach, f_ext))
-
-    tok_mask = (reach[:cap_in] > 0) & (idx_in < comp_len)
+    n_levels = _ceil_log2(cap_in) + 1
+    levels = [f_ext]
+    for _ in range(n_levels - 1):
+        levels.append(jnp.take(levels[-1], levels[-1]))
+    cur = jnp.zeros(cap_in, jnp.int32)
+    for k in range(n_levels - 1, -1, -1):
+        nxt = jnp.take(levels[k], cur)
+        cur = jnp.where(nxt <= idx_in, nxt, cur)
+    tok_mask = (cur == idx_in) & (idx_in < comp_len)
     last_mask = tok_mask & is_last
     match_mask = tok_mask & ~is_last & ~tok_bad
     err = jnp.any(tok_mask & tok_bad)
@@ -143,39 +140,26 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, *, cap_out: int,
     err |= jnp.any(match_mask & (offset > LZ4_DISTANCE_MAX))
 
     # ---- step 4: per-output-byte source map ------------------------------
-    sent = jnp.int32(cap_out)   # sentinel slot for masked scatters
-
-    def span_fill(starts, mask, *vals):
-        """Scatter span metadata at span starts, then fill forward
-        (cummax over span-start keys): returns (span_start_at_o,
-        gathered vals at that start). `vals` may be negative — they are
-        bias-shifted around the scatter-max."""
-        bias = jnp.int32(cap_out + 1)
-        tgt = jnp.where(mask, jnp.clip(starts, 0, cap_out - 1), sent)
-        key = jnp.zeros(cap_out + 1, jnp.int32).at[tgt].max(
-            jnp.where(mask, starts, 0))
-        key = jax.lax.cummax(key[:cap_out], axis=0)
-        outs = []
-        for v in vals:
-            dense = jnp.zeros(cap_out + 1, jnp.int32).at[tgt].max(
-                jnp.where(mask, v + bias, 0))
-            outs.append(jnp.take(dense[:cap_out], key) - bias)
-        return key, outs
-
+    # The token covering output byte o is the first position whose
+    # inclusive output cumsum exceeds o (contrib is monotone), found with
+    # a pure searchsorted — no scatters (TPU scatters serialize).
     o = jnp.arange(cap_out, dtype=jnp.int32)
+    out_cum = out_start + contrib            # inclusive cumsum
+    p_star = jnp.searchsorted(out_cum, o, side="right").astype(jnp.int32)
+    p_star_c = jnp.clip(p_star, 0, cap_in - 1)
 
-    lit_span_mask = tok_mask & (litlen > 0)
-    lkey, (l_base, l_len) = span_fill(
-        out_start, lit_span_mask, lit_start - out_start, litlen)
-    is_lit = (o - lkey) < l_len
-    # a span at start 0 may not exist; guard: l_len==0 ⇒ not literal
-    lit_ptr = -(jnp.clip(l_base + o, 0, cap_in - 1)) - 1
+    def at_tok(v):
+        return jnp.take(v, p_star_c)
 
-    mat_span_mask = match_mask & (matchlen > 0)
-    mkey, (m_off, m_len) = span_fill(
-        match_out_start, mat_span_mask, offset, matchlen)
-    is_mat = (~is_lit) & ((o - mkey) < m_len)
-    src_out = o - m_off                      # output coordinate (may be <0)
+    covered = (o < total_out) & (p_star < cap_in)
+    t_off = o - at_tok(out_start)            # offset within the token
+    l_len = jnp.where(covered, at_tok(litlen), 0)
+    is_lit = covered & (t_off < l_len)
+    lit_ptr = -(jnp.clip(at_tok(lit_start - out_start) + o,
+                         0, cap_in - 1)) - 1
+
+    is_mat = covered & ~is_lit & (t_off < at_tok(contrib))
+    src_out = o - at_tok(offset)             # output coordinate (may be <0)
     # <0 ⇒ resolves into the dict window: encode as input/dict-resolved
     dict_code = -(cap_in + DICT_CAP + src_out) - 1   # src_out in [-DICT_CAP,0)
     mat_ptr = jnp.where(src_out >= 0, src_out, dict_code)

@@ -104,7 +104,10 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool):
     prev_in_group = jnp.where(
         same, jnp.concatenate([jnp.array([0], jnp.int32), order[:-1]]),
         jnp.int32(-1))
-    cand = jnp.zeros(N, jnp.int32).at[order].set(prev_in_group)
+    # permutation scatter: unique indices take XLA's fast lowering (the
+    # general colliding-scatter path serializes on TPU)
+    cand = jnp.zeros(N, jnp.int32).at[order].set(
+        prev_in_group, unique_indices=True)
 
     valid_cand = (cand >= lo) & (cand >= 0) & (idx - cand <= LZ4_DISTANCE_MAX)
 
@@ -135,23 +138,23 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool):
                 & (idx <= end - MFLIMIT)
                 & (ml >= MINMATCH))
 
-    # ---- step 3: greedy parse orbit (pointer doubling) -------------------
+    # ---- step 3: greedy parse orbit (gather-only binary lifting) --------
+    # TPU scatters serialize, so the reach-set pointer-doubling formulation
+    # is slow; instead build jump tables F_k = f^(2^k) (pure gathers) and,
+    # for every position p, greedily descend from the block start: the
+    # walk lands exactly on p iff p is a parse cursor position.
     f = jnp.where(is_match, idx + ml, idx + 1)
     f = jnp.where((idx >= end) | (idx < d0), jnp.int32(N), jnp.minimum(f, N))
     f_ext = jnp.concatenate([f, jnp.array([N], jnp.int32)])
-    # derive from f_ext so the carry's sharding/varying type matches under
-    # shard_map (a fresh jnp.zeros would be axis-unvarying)
-    reach = (f_ext * 0).at[d0].set(1)
-
-    def orbit_round(_, state):
-        reach, F = state
-        reach = reach.at[F].max(reach)
-        F = jnp.take(F, F)
-        return reach, F
-
-    reach, _ = jax.lax.fori_loop(0, _ceil_log2(N), orbit_round,
-                                 (reach, f_ext))
-    on_orbit = reach[:N] > 0
+    n_levels = _ceil_log2(N) + 1
+    levels = [f_ext]
+    for _ in range(n_levels - 1):
+        levels.append(jnp.take(levels[-1], levels[-1]))
+    cur = jnp.full(N, d0, jnp.int32)
+    for k in range(n_levels - 1, -1, -1):
+        nxt = jnp.take(levels[k], cur)
+        cur = jnp.where(nxt <= idx, nxt, cur)
+    on_orbit = cur == idx
     tok = on_orbit & is_match                       # match-token positions
 
     # ---- step 4: anchors + back-extension --------------------------------
@@ -195,26 +198,20 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool):
     fel = ext_count(FL)
     csize = total_seq + 1 + fel + FL
 
-    # ---- step 5: emission (span fill over the output coordinate) --------
+    # ---- step 5: emission (searchsorted over the monotone cumsum) -------
+    # csum is non-decreasing over positions and strictly increases exactly
+    # at match tokens, so the token covering output byte o is the first
+    # position whose inclusive cumsum exceeds o — a pure searchsorted +
+    # field gathers (no scatters: TPU scatters serialize).
     o = jnp.arange(cap_out, dtype=jnp.int32)
-    sent = jnp.int32(cap_out)
-    tgt = jnp.where(tok, jnp.clip(out_start, 0, cap_out - 1), sent)
+    p_star = jnp.searchsorted(csum, o, side="right").astype(jnp.int32)
 
-    # span key: the output start of the sequence covering byte o
-    # (out_start is monotone along o, so scatter + cummax forward-fills)
-    key_dense = jnp.zeros(cap_out + 1, jnp.int32).at[tgt].max(
-        jnp.where(tok, out_start, 0))
-    key_o = jax.lax.cummax(key_dense[:cap_out], axis=0)
+    def at_tok(v):
+        return jnp.take(v, jnp.clip(p_star, 0, N - 1))
 
-    def at_key(v):
-        """Per-sequence field: scatter at the sequence's output start,
-        then read back at the covering span's start (decoder-style —
-        cummax over arbitrary field values would leak between spans)."""
-        dense = jnp.zeros(cap_out + 1, jnp.int32).at[tgt].max(
-            jnp.where(tok, v, 0))
-        return jnp.take(dense[:cap_out], key_o)
-
-    L_o, base_o, el_o, off_o, M4_o = map(at_key, [L, lit_base, el, off, M4])
+    key_o = at_tok(out_start)
+    L_o, base_o, el_o, off_o, M4_o = map(
+        at_tok, [L, lit_base, el, off, M4])
 
     in_final = o >= total_seq
     key_o = jnp.where(in_final, total_seq, key_o)

@@ -83,6 +83,14 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.lz4t_xxh32_rounds.restype = None
     lib.lz4t_xxh32_rounds.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                       ctypes.POINTER(ctypes.c_uint32)]
+    lib.lz4t_compress_block.restype = ctypes.c_long
+    lib.lz4t_compress_block.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
+        ctypes.c_long, ctypes.c_int]
+    lib.lz4t_decompress_block.restype = ctypes.c_long
+    lib.lz4t_decompress_block.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
+        ctypes.c_char_p, ctypes.c_long]
 
 
 class _XXH:
@@ -102,10 +110,45 @@ class _XXH:
         return [arr[0], arr[1], arr[2], arr[3]]
 
 
+class _BlockCodec:
+    """ctypes facade over the C block codec (host fast path)."""
+
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+
+    def compress(self, data: bytes, dict_prefix: bytes | None = None,
+                 acceleration: int = 1) -> bytes:
+        from lz4_tpu.constants import compress_bound
+        data = bytes(data)
+        d = bytes(dict_prefix or b"")[-65535:]
+        buf = ctypes.create_string_buffer(d + data, len(d) + len(data))
+        # src must point at the data start, history contiguous before it
+        src = ctypes.cast(ctypes.byref(buf, len(d)), ctypes.c_char_p)
+        cap = compress_bound(len(data))
+        dst = ctypes.create_string_buffer(cap)
+        n = self._lib.lz4t_compress_block(
+            src, len(data), dst, cap, len(d), max(1, acceleration))
+        if n <= 0:
+            raise RuntimeError("native compression failed")
+        return dst.raw[:n]
+
+    def decompress(self, comp: bytes, max_out: int,
+                   dict_prefix: bytes | None = None) -> bytes:
+        comp = bytes(comp)
+        d = bytes(dict_prefix or b"")[-65535:]
+        dst = ctypes.create_string_buffer(max(1, max_out))
+        n = self._lib.lz4t_decompress_block(
+            comp, len(comp), dst, max_out, d, len(d))
+        if n < 0:
+            from lz4_tpu.block.ref_codec import BlockDecodeError
+            raise BlockDecodeError("native decoder rejected stream")
+        return dst.raw[:n]
+
+
 def __getattr__(name: str):
-    if name == "xxh":
+    if name in ("xxh", "blockcodec"):
         lib = _load()
         if lib is None:
             raise ImportError("native backend unavailable")
-        return _XXH(lib)
+        return _XXH(lib) if name == "xxh" else _BlockCodec(lib)
     raise AttributeError(name)

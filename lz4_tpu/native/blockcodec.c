@@ -1,0 +1,223 @@
+/* Host-side LZ4 block codec (C) — the native runtime fallback used for
+ * small inputs and CLI pass-through paths where a device dispatch is not
+ * worth the latency.
+ *
+ * Original implementation written against the normative block format
+ * (/root/reference/doc/lz4_Block_format.md): token = (litlen<<4)|matlen
+ * nibbles with 255-chained extensions, 2-byte LE offset (0 invalid),
+ * minmatch 4, last 5 bytes literal, last match >= 12 bytes before end.
+ * The compressor is a single-pass hash-table greedy matcher in the
+ * spirit of the format's design; the decoder is a bounds-checked
+ * sequence interpreter (never reads/writes out of bounds).
+ */
+#include <stddef.h>
+#include <stdint.h>
+#include <string.h>
+
+#define MINMATCH 4
+#define MFLIMIT 12
+#define LASTLITERALS 5
+#define WINDOW 65535
+#define HASH_LOG 16
+#define HASH_SIZE (1u << HASH_LOG)
+
+static inline uint32_t read32(const uint8_t *p) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return v;
+}
+
+static inline uint32_t hash4(uint32_t v) {
+    return (v * 2654435761u) >> (32 - HASH_LOG);
+}
+
+/* length of common prefix of a and b, both bounded by limit */
+static inline size_t match_len(const uint8_t *a, const uint8_t *b,
+                               const uint8_t *limit) {
+    const uint8_t *start = a;
+    while (a + 8 <= limit) {
+        uint64_t xa, xb;
+        memcpy(&xa, a, 8);
+        memcpy(&xb, b, 8);
+        if (xa != xb) {
+            uint64_t x = xa ^ xb;
+#if defined(__GNUC__)
+            return (size_t)(a - start) + (__builtin_ctzll(x) >> 3);
+#else
+            size_t n = 0;
+            while (((x >> (8 * n)) & 0xFF) == 0) n++;
+            return (size_t)(a - start) + n;
+#endif
+        }
+        a += 8;
+        b += 8;
+    }
+    while (a < limit && *a == *b) { a++; b++; }
+    return (size_t)(a - start);
+}
+
+static uint8_t *emit_length(uint8_t *op, size_t len) {
+    len -= 15;
+    while (len >= 255) { *op++ = 255; len -= 255; }
+    *op++ = (uint8_t)len;
+    return op;
+}
+
+/* Compress src[0..n) given `dict_len` bytes of history immediately
+ * before src (contiguous, usingDict prefix semantics). Returns the
+ * compressed size, or 0 if dst_cap too small. */
+long lz4t_compress_block(const uint8_t *src, long n, uint8_t *dst,
+                         long dst_cap, long dict_len, int accel) {
+    uint32_t htab[HASH_SIZE];
+    const uint8_t *base = src - dict_len;   /* position 0 in table coords */
+    const uint8_t *ip = src, *anchor = src;
+    const uint8_t *iend = src + n;
+    const uint8_t *mflimit = iend - MFLIMIT;
+    const uint8_t *matchlimit = iend - LASTLITERALS;
+    uint8_t *op = dst, *oend = dst + dst_cap;
+    long total = dict_len + n;
+    int step_base = accel > 0 ? accel : 1;
+
+    if (n == 0) {
+        if (dst_cap < 1) return 0;
+        *op++ = 0;
+        return 1;
+    }
+    memset(htab, 0xFF, sizeof(htab));
+    /* seed the table with dictionary positions (stride 3 like a fast
+     * dict load; exactness is not required, only validity) */
+    if (dict_len >= MINMATCH) {
+        for (long p = 0; p + MINMATCH <= dict_len; p += 3)
+            htab[hash4(read32(base + p))] = (uint32_t)p;
+    }
+
+    if (n >= MFLIMIT + 1) {
+        unsigned searchN = (unsigned)step_base << 6;
+        while (ip <= mflimit) {
+            uint32_t h = hash4(read32(ip));
+            uint32_t cpos = htab[h];
+            const uint8_t *cand = base + cpos;
+            htab[h] = (uint32_t)(ip - base);
+            if (cpos != 0xFFFFFFFFu && cand < ip &&
+                (long)(ip - cand) <= WINDOW && read32(cand) == read32(ip)) {
+                /* match: extend forward and backward */
+                size_t ml = MINMATCH +
+                    match_len(ip + MINMATCH, cand + MINMATCH, matchlimit);
+                while (ip > anchor && cand > base && ip[-1] == cand[-1]) {
+                    ip--; cand--; ml++;
+                }
+                {
+                    size_t lit = (size_t)(ip - anchor);
+                    size_t off = (size_t)(ip - cand);
+                    size_t mlc = ml - MINMATCH;
+                    /* worst-case space check */
+                    if (op + 1 + lit + lit / 255 + 2 + 1 + mlc / 255 + 16
+                        > oend)
+                        return 0;
+                    uint8_t *tok = op++;
+                    if (lit >= 15) { *tok = 15 << 4; op = emit_length(op, lit); }
+                    else *tok = (uint8_t)(lit << 4);
+                    memcpy(op, anchor, lit);
+                    op += lit;
+                    *op++ = (uint8_t)(off & 0xFF);
+                    *op++ = (uint8_t)(off >> 8);
+                    if (mlc >= 15) { *tok |= 15; op = emit_length(op, mlc); }
+                    else *tok |= (uint8_t)mlc;
+                }
+                ip += ml;
+                anchor = ip;
+                searchN = (unsigned)step_base << 6;
+            } else {
+                /* skip accelerator: stride grows with consecutive misses,
+                 * scaled by `accel` (searchN starts at accel<<6 so the
+                 * stride is always >= accel >= 1) */
+                ip += searchN++ >> 6;
+            }
+        }
+    }
+    /* final literals */
+    {
+        size_t lit = (size_t)(iend - anchor);
+        if (op + 1 + lit + lit / 255 + 1 > oend) return 0;
+        if (lit >= 15) { *op++ = 15 << 4; op = emit_length(op, lit); }
+        else *op++ = (uint8_t)(lit << 4);
+        memcpy(op, anchor, lit);
+        op += lit;
+    }
+    return (long)(op - dst);
+}
+
+/* Safe decode of comp[0..clen) into dst[0..cap); `dict`/`dict_len` is
+ * the history window logically preceding dst. Returns the decoded size
+ * or -1 on malformed input. Never reads/writes out of bounds. */
+long lz4t_decompress_block(const uint8_t *comp, long clen, uint8_t *dst,
+                           long cap, const uint8_t *dict, long dict_len) {
+    const uint8_t *ip = comp, *iend = comp + clen;
+    uint8_t *op = dst, *oend = dst + cap;
+
+    if (clen <= 0) return -1;
+    for (;;) {
+        size_t lit, mlen, off;
+        uint32_t token;
+        if (ip >= iend) return -1;
+        token = *ip++;
+        lit = token >> 4;
+        if (lit == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                lit += b;
+                if (lit > (size_t)cap + 65536u) return -1;
+            } while (b == 255);
+        }
+        if (lit) {
+            if ((size_t)(iend - ip) < lit) return -1;
+            if ((size_t)(oend - op) < lit) return -1;
+            memcpy(op, ip, lit);
+            ip += lit;
+            op += lit;
+        }
+        if (ip == iend) break;            /* last sequence: literals only */
+        if (iend - ip < 2) return -1;
+        off = (size_t)ip[0] | ((size_t)ip[1] << 8);
+        ip += 2;
+        if (off == 0) return -1;
+        mlen = token & 15;
+        if (mlen == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                mlen += b;
+                if (mlen > (size_t)cap + 65536u) return -1;
+            } while (b == 255);
+        }
+        mlen += MINMATCH;
+        if ((size_t)(oend - op) < mlen) return -1;
+        {
+            size_t pos = (size_t)(op - dst);
+            if (off > pos + (size_t)dict_len) return -1;
+            if (off > pos) {              /* starts inside the dict */
+                size_t dpos = (size_t)dict_len - (off - pos);
+                size_t take = off - pos;
+                if (take > mlen) take = mlen;
+                memcpy(op, dict + dpos, take);
+                op += take;
+                mlen -= take;
+            }
+            if (mlen) {                   /* in-output part, may overlap */
+                const uint8_t *src2 = op - off;
+                size_t i;
+                if (off >= mlen) {
+                    memcpy(op, src2, mlen);
+                    op += mlen;
+                } else {
+                    for (i = 0; i < mlen; i++) op[i] = src2[i];
+                    op += mlen;
+                }
+            }
+        }
+    }
+    return (long)(op - dst);
+}
