@@ -1,33 +1,29 @@
-"""Vectorized LZ4 block decoder for TPU — zero serial loops.
+"""Vectorized LZ4 block decoder for TPU — sort/scan-structured (v2).
 
-TPU-native redesign of LZ4_decompress_generic (lz4.c:2022-2445). The
-reference walks a byte cursor sequence-by-sequence; a TPU wants wide
-data-parallel vector ops with static shapes. This decoder re-expresses
-the *entire* decode as a constant number of vector passes:
+TPU-native redesign of LZ4_decompress_generic (lz4.c:2022-2445), built
+on the primitives a TPU is fast at (docs/tpu_perf_notes.md): the v1
+design speculatively parsed EVERY byte position and recovered the token
+set with scatter/gather pointer doubling, which XLA serializes on TPU
+(~1 MB/s). v2:
 
-  1. **Speculative token parse** — for EVERY byte position p, compute
-     "if a token started at p": literal length (incl. 255-chains, found
-     via a reverse cumulative-min "next non-255 byte" map), literal span,
-     offset, match length, and the position of the next token f(p).
-  2. **Token reachability** — the real tokens are the orbit of position 0
-     under f. Since f is strictly increasing, the orbit is computed with
-     pointer doubling: R ← R ∪ f^(2^j)(R), f^(2^(j+1)) = f^(2^j)∘f^(2^j),
-     log2(N) gather+scatter rounds.
-  3. **Output placement** — per-token output offsets via masked prefix
-     sums (replaces the serial output cursor).
-  4. **Source map** — every output byte's provenance: literal bytes point
-     at input (resolved), match bytes point at an earlier *output*
-     position (o - offset), built with segmented scatter + cumulative-max
-     span fills.
-  5. **Match resolution** — pointer doubling again: ptr ← ptr[ptr] for
-     log2(N) rounds resolves arbitrarily deep match-of-match chains
-     (incl. overlap/RLE patterns, which the reference special-cases via
-     inc32table/dec64table, lz4.c:2406-2418) to literal origins.
-  6. One final gather materializes the bytes.
-
-Safety contract parity: never reads/writes outside its fixed-size
-buffers; malformed input sets a per-block error flag (the analog of the
-reference's negative return codes, lz4.c:2442-2443).
+  1. **Token parse = lax.scan.** The sequence cursor walk is the only
+     irreducibly serial part; each step costs a handful of per-block
+     1-element gathers (~ a few us, independent of batch width), aided
+     by one structural precompute (next-non-255-byte reverse cummin for
+     the 255-chained length extensions). The scan emits the per-token
+     records (literal start/len, offset, match len) directly.
+  2. **Placement = cumsum** over tokens; bounds/window/offset checks
+     become elementwise error reductions (the analog of the reference's
+     negative return codes; never reads/writes out of bounds).
+  3. **Byte routing = merge-by-sort.** Token rows keyed by their output
+     start merge with output-byte rows in one stable sort; a last-valid
+     associative scan gives every output byte its covering token's
+     fields; a second sort restores byte order.
+  4. **Match resolution = convergence-bounded pointer doubling.**
+     Output bytes form source chains (match-of-match, incl. RLE
+     overlap); ptr <- ptr[ptr] doubles the resolved depth per round, so
+     a while_loop exits after log2(max chain depth) rounds (typically
+     3-5 on real data; 17 worst-case for 64 KB RLE).
 
 Dictionary/linked-block support: an optional 64 KB history buffer
 (right-aligned) occupies negative output coordinates, giving
@@ -41,148 +37,149 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lz4_tpu.constants import LZ4_DISTANCE_MAX
+from lz4_tpu.constants import LZ4_DISTANCE_MAX, MINMATCH
 
 DICT_CAP = 65536  # static history window capacity (64 KB)
 
 
-def _ceil_log2(n: int) -> int:
-    return max(1, int(np.ceil(np.log2(max(2, n)))))
-
-
-def _exclusive_cumsum(x):
-    c = jnp.cumsum(x)
-    return c - x, c[-1] if c.shape[0] else jnp.int32(0)
-
-
-# -----------------------------------------------------------------------
+# ---------------------------------------------------------------------------
 # single-block decode (vmapped over a batch by decode_blocks)
-# -----------------------------------------------------------------------
+# ---------------------------------------------------------------------------
 
 def _decode_one(comp, comp_len, dict_buf, dict_len, *, cap_out: int,
                 has_dict: bool):
     cap_in = comp.shape[0]
-    idx_in = jnp.arange(cap_in, dtype=jnp.int32)
-    cu8 = comp
+    idx = jnp.arange(cap_in, dtype=jnp.int32)
     c32 = comp.astype(jnp.int32)
-    comp_len = comp_len.astype(jnp.int32)
-
-    # ---- step 1: next non-255 byte at/after p (reverse cummin) ----------
-    nn = jnp.where(c32 != 255, idx_in, jnp.int32(cap_in))
-    nn = jax.lax.cummin(nn, axis=0, reverse=True)
-
-    def gather_in(arr, i):
-        return jnp.take(arr, jnp.clip(i, 0, cap_in - 1), axis=0)
-
-    # ---- speculative token parse at every position ----------------------
-    tok = c32
-    lit_nib = tok >> 4
-    mat_nib = tok & 15
-    has_litext = lit_nib == 15
-    q = gather_in(nn, idx_in + 1)                       # end of 255-chain
-    ext_lit = 255 * (q - (idx_in + 1)) + gather_in(c32, q)
-    # clip lengths to cap_out+1: keeps valid streams intact while making
-    # the int32 prefix sums overflow-safe for malicious 255-chains
-    litlen = jnp.minimum(lit_nib + jnp.where(has_litext, ext_lit, 0),
-                         cap_out + 1)
-    lit_start = jnp.where(has_litext, q + 1, idx_in + 1)
-    lit_end = lit_start + litlen                        # offset field pos
-    is_last = lit_end >= comp_len
-    offset = gather_in(c32, lit_end) | (gather_in(c32, lit_end + 1) << 8)
-    mo = lit_end + 2
-    has_matext = mat_nib == 15
-    q2 = gather_in(nn, mo)
-    ext_mat = 255 * (q2 - mo) + gather_in(c32, q2)
-    matchlen = jnp.minimum(4 + mat_nib + jnp.where(has_matext, ext_mat, 0),
-                           cap_out + 1)
-    next_p = jnp.where(has_matext, q2 + 1, mo)
-    # token-level malformation (evaluated lazily: only reached tokens count)
-    tok_bad = jnp.where(
-        is_last,
-        lit_end != comp_len,                      # literal run overruns
-        (next_p > comp_len) | (offset == 0))
-    f = jnp.where(is_last | tok_bad, jnp.int32(cap_in),
-                  jnp.minimum(next_p, cap_in))
-
-    # ---- step 2: orbit of 0 under f (gather-only binary lifting) --------
-    # TPU scatters serialize, so instead of a reach-set scatter we build
-    # jump tables F_k = f^(2^k) and greedily descend from 0 toward every
-    # position p: the walk lands exactly on p iff p starts a real token.
-    f_ext = jnp.concatenate([f, jnp.array([cap_in], jnp.int32)])
-    n_levels = _ceil_log2(cap_in) + 1
-    levels = [f_ext]
-    for _ in range(n_levels - 1):
-        levels.append(jnp.take(levels[-1], levels[-1]))
-    cur = jnp.zeros(cap_in, jnp.int32)
-    for k in range(n_levels - 1, -1, -1):
-        nxt = jnp.take(levels[k], cur)
-        cur = jnp.where(nxt <= idx_in, nxt, cur)
-    tok_mask = (cur == idx_in) & (idx_in < comp_len)
-    last_mask = tok_mask & is_last
-    match_mask = tok_mask & ~is_last & ~tok_bad
-    err = jnp.any(tok_mask & tok_bad)
-
-    # ---- step 3: output placement ---------------------------------------
-    contrib = jnp.where(
-        tok_mask, litlen + jnp.where(is_last, 0, matchlen), 0)
-    out_start, total_out = _exclusive_cumsum(contrib)
-    match_out_start = out_start + litlen
-    # first-crossing overflow check: contribs are clipped to <= cap_out+1,
-    # so the first token exceeding cap_out is detected before any int32 wrap
-    err |= jnp.any(tok_mask & (out_start + contrib > cap_out))
-    err |= total_out > cap_out
-    err |= jnp.sum(jnp.where(last_mask, 1, 0)) != 1
-    # literal source must stay inside the input
-    err |= jnp.any(tok_mask & (lit_end > comp_len))
-    # match window check: o_start - offset >= -dict_len
+    M = comp_len.astype(jnp.int32)
     dlen = dict_len.astype(jnp.int32) if has_dict else jnp.int32(0)
-    err |= jnp.any(match_mask & (match_out_start - offset < -dlen))
-    err |= jnp.any(match_mask & (offset > LZ4_DISTANCE_MAX))
 
-    # ---- step 4: per-output-byte source map ------------------------------
-    # The token covering output byte o is the first position whose
-    # inclusive output cumsum exceeds o (contrib is monotone), found with
-    # a pure searchsorted — no scatters (TPU scatters serialize).
+    # structural precompute: next non-255 byte at/after p (for 255-chains)
+    nn = jax.lax.cummin(jnp.where(c32 != 255, idx, jnp.int32(cap_in)),
+                        axis=0, reverse=True)
+    nn_ext = jnp.concatenate([nn, jnp.array([cap_in], jnp.int32)])
+    c_ext = jnp.concatenate([c32, jnp.array([0], jnp.int32)])
+
+    def rd(arr, i):
+        return jnp.take(arr, jnp.clip(i, 0, arr.shape[0] - 1))
+
+    T = cap_in // 3 + 2          # every sequence but the last is >=3 bytes
+
+    def parse(carry, _):
+        p, err, seen_last = carry
+        done = p >= M
+        tok = rd(c_ext, p)
+        litnib = tok >> 4
+        q = rd(nn_ext, p + 1)
+        extlit = 255 * (q - (p + 1)) + rd(c_ext, q)
+        litlen = jnp.where(litnib == 15, litnib + extlit, litnib)
+        lit_start = jnp.where(litnib == 15, q + 1, p + 1)
+        lit_end = lit_start + litlen
+        is_last = lit_end >= M
+        offset = rd(c_ext, lit_end) | (rd(c_ext, lit_end + 1) << 8)
+        matnib = tok & 15
+        mo = lit_end + 2
+        q2 = rd(nn_ext, mo)
+        extmat = 255 * (q2 - mo) + rd(c_ext, q2)
+        mlen = MINMATCH + jnp.where(matnib == 15, matnib + extmat, matnib)
+        next_p = jnp.where(matnib == 15, q2 + 1, mo)
+        bad = jnp.where(is_last, lit_end != M,
+                        (next_p > M) | (offset == 0))
+        good = ~done & ~bad
+        err = err | (~done & bad)
+        seen_last = seen_last | (good & is_last)
+        rec = (
+            jnp.where(good, lit_start, 0),
+            jnp.where(good, jnp.minimum(litlen, cap_out + 1), 0),
+            jnp.where(good & ~is_last, offset, 0),
+            jnp.where(good & ~is_last,
+                      jnp.minimum(mlen, cap_out + 1), 0),
+        )
+        p_next = jnp.where(done | bad | is_last, jnp.int32(cap_in), next_p)
+        return (p_next, err, seen_last), rec
+
+    (pf, err, seen_last), (lit_starts, litlens, offs, mlens) = jax.lax.scan(
+        parse, (jnp.int32(0), jnp.bool_(False), jnp.bool_(False)), None,
+        length=T)
+    err = err | ~seen_last          # truncated / endless stream
+
+    # ---- placement + checks (elementwise over tokens) -------------------
+    contrib = litlens + mlens
+    csum = jnp.cumsum(contrib)
+    dst_start = csum - contrib
+    total_out = csum[-1]
+    err = err | jnp.any(csum > cap_out)
+    match_dst = dst_start + litlens
+    has_m = mlens > 0
+    err = err | jnp.any(has_m & (match_dst - offs < -dlen))
+    err = err | jnp.any(has_m & (offs > LZ4_DISTANCE_MAX))
+
+    # ---- merge-by-sort: route token fields to output bytes --------------
     o = jnp.arange(cap_out, dtype=jnp.int32)
-    out_cum = out_start + contrib            # inclusive cumsum
-    p_star = jnp.searchsorted(out_cum, o, side="right").astype(jnp.int32)
-    p_star_c = jnp.clip(p_star, 0, cap_in - 1)
+    BIG = jnp.int32(2 * cap_out + 4)
+    active = contrib > 0
+    skey = jnp.where(active, dst_start, BIG)
+    mkey = jnp.concatenate([jnp.minimum(skey, BIG) * 2, o * 2 + 1])
+    zpad = jnp.zeros(cap_out, jnp.int32)
+    f_start = jnp.concatenate([jnp.where(active, dst_start, -1),
+                               jnp.full(cap_out, -1, jnp.int32)])
+    f_ls = jnp.concatenate([lit_starts, zpad])
+    f_ll = jnp.concatenate([litlens, zpad])
+    f_off = jnp.concatenate([offs, zpad])
+    slot = jnp.concatenate([jnp.full(T, cap_out, jnp.int32), o])
 
-    def at_tok(v):
-        return jnp.take(v, p_star_c)
+    smk, g_start, g_ls, g_ll, g_off, g_slot = jax.lax.sort(
+        (mkey, f_start, f_ls, f_ll, f_off, slot), num_keys=1,
+        is_stable=True)
 
-    covered = (o < total_out) & (p_star < cap_in)
-    t_off = o - at_tok(out_start)            # offset within the token
-    l_len = jnp.where(covered, at_tok(litlen), 0)
-    is_lit = covered & (t_off < l_len)
-    lit_ptr = -(jnp.clip(at_tok(lit_start - out_start) + o,
-                         0, cap_in - 1)) - 1
+    def last_valid(a, b):
+        keep = b[0] >= 0
+        return tuple(jnp.where(keep, y, x) for x, y in zip(a, b))
 
-    is_mat = covered & ~is_lit & (t_off < at_tok(contrib))
-    src_out = o - at_tok(offset)             # output coordinate (may be <0)
-    # <0 ⇒ resolves into the dict window: encode as input/dict-resolved
-    dict_code = -(cap_in + DICT_CAP + src_out) - 1   # src_out in [-DICT_CAP,0)
+    p_start, p_ls, p_ll, p_off = jax.lax.associative_scan(
+        last_valid, (g_start, g_ls, g_ll, g_off))
+
+    bkey = jnp.where(g_slot < cap_out, g_slot, BIG)
+    _, key_o, ls_o, ll_o, off_o = jax.lax.sort(
+        (bkey, p_start, p_ls, p_ll, p_off), num_keys=1, is_stable=True)
+    key_o = key_o[:cap_out]
+    ls_o = ls_o[:cap_out]
+    ll_o = ll_o[:cap_out]
+    off_o = off_o[:cap_out]
+
+    covered = (o < total_out) & (key_o >= 0)
+    t = o - key_o
+    is_lit = covered & (t < ll_o)
+    lit_ptr = -(jnp.clip(ls_o + t, 0, cap_in - 1)) - 1
+    src_out = o - off_o               # output coordinate (may be < 0)
+    dict_code = -(cap_in + DICT_CAP + src_out) - 1  # src_out in [-DICT_CAP,0)
     mat_ptr = jnp.where(src_out >= 0, src_out, dict_code)
+    ptr = jnp.where(is_lit, lit_ptr, jnp.where(covered, mat_ptr, -1))
 
-    ptr = jnp.where(is_lit, lit_ptr, jnp.where(is_mat, mat_ptr, -1))
+    # ---- resolve match chains (convergence-bounded doubling) ------------
+    def chase_cond(state):
+        ptr, changed, rounds = state
+        return changed & (rounds < 18)
 
-    # ---- step 5: resolve match chains (pointer doubling) ----------------
-    def chase(_, p):
-        nxt = jnp.take(p, jnp.clip(p, 0, cap_out - 1))
-        return jnp.where(p >= 0, nxt, p)
+    def chase_body(state):
+        ptr, _, rounds = state
+        nxt = jnp.take(ptr, jnp.clip(ptr, 0, cap_out - 1))
+        new = jnp.where(ptr >= 0, nxt, ptr)
+        return new, jnp.any(new != ptr), rounds + 1
 
-    ptr = jax.lax.fori_loop(0, _ceil_log2(cap_out), chase, ptr)
+    ptr, _, _ = jax.lax.while_loop(
+        chase_cond, chase_body, (ptr, jnp.bool_(True), jnp.int32(0)))
 
-    # ---- step 6: materialize --------------------------------------------
+    # ---- materialize -----------------------------------------------------
     code = -ptr - 1
     from_input = code < cap_in
-    in_bytes = jnp.take(cu8, jnp.clip(code, 0, cap_in - 1))
+    in_bytes = jnp.take(comp, jnp.clip(code, 0, cap_in - 1))
     if has_dict:
         dict_idx = jnp.clip(code - cap_in, 0, DICT_CAP - 1)
         d_bytes = jnp.take(dict_buf, dict_idx)
         out = jnp.where(from_input, in_bytes, d_bytes)
     else:
-        err |= jnp.any((o < total_out) & ~from_input)
+        err = err | jnp.any((o < total_out) & ~from_input)
         out = in_bytes
     out = jnp.where(o < total_out, out, jnp.uint8(0))
     return out, total_out, err.astype(jnp.int32)
@@ -204,9 +201,9 @@ def decode_blocks(comp, comp_lens, dict_bufs, dict_lens, *, cap_out: int,
     return jax.vmap(fn)(comp, comp_lens, dict_bufs, dict_lens)
 
 
-# -----------------------------------------------------------------------
+# ---------------------------------------------------------------------------
 # convenience host API (bytes in/out) used by tests and the engine
-# -----------------------------------------------------------------------
+# ---------------------------------------------------------------------------
 
 def decode_blocks_host(blocks, max_outs, dict_prefixes=None):
     """Decode a list of compressed blocks via the vectorized TPU path.

@@ -1,41 +1,41 @@
-"""Vectorized LZ4 block encoder for TPU — zero serial loops.
+"""Vectorized LZ4 block encoder for TPU — sort/scan-structured (v2).
 
-TPU-native redesign of LZ4_compress_generic (lz4.c:930-1338). The
-reference walks a byte cursor with a serially-updated hash table; a TPU
-wants wide static-shape vector passes. This encoder re-expresses greedy
-LZ4 parsing as a constant number of vector ops per block:
+TPU-native redesign of LZ4_compress_generic (lz4.c:930-1338), built on
+the primitives a TPU is actually fast at (docs/tpu_perf_notes.md:
+sorts ~1.5 ms vs random gathers ~23 ms at 32x66K — the v1
+gather/scatter formulation measured ~1 MB/s/chip, this one avoids both
+almost everywhere):
 
-  1. **Exact candidate discovery** — one stable sort of the 4-byte words
-     gives, for every position p, the *nearest previous occurrence* c(p)
-     of the 4-gram at p (the collision-free ideal of the reference's
-     2^hashlog hash probe, lz4.c:777-806/1023-1100). Positions in the
-     same sort group have bit-equal grams, so candidate matches are
-     exact by construction — no verification pass needed.
-  2. **Chain-run match lengths** — if candidates advance in lockstep
-     (c(p+1) == c(p)+1) for r consecutive positions, bytes [p, p+r+3)
-     match [c, c+r+3) exactly. A reverse cummin over the "chain breaks
-     here" indicator yields r for every p in O(n). RLE / periodic
-     regions (where the reference needs its overlap special cases)
-     chain perfectly, giving full-length matches. A short bounded
-     forward-extension pass recovers lengths across chain breaks.
-  3. **Greedy parse as an orbit** — successor f(p) = p + ml(p) on a
-     match, else p + 1. Tokens = orbit of the block start under f,
-     computed with pointer doubling in log2(n) gather rounds (no skip
-     heuristic needed: orbit cost is independent of literal-run length,
-     so incompressible data costs the same as compressible).
-  4. **Back-extension at emission** — the reference's catch-up loop
-     (lz4.c:1104-1109) becomes a bounded per-candidate backward compare,
-     clamped by the (orbit-derived) anchor when sequences are emitted.
-  5. **Sequence emission** — per-sequence byte sizes -> exclusive prefix
-     sum -> output offsets; token/extension/literal/offset bytes are
-     materialized by a span-fill (scatter-max + cummax) + gather over
-     the output coordinate, the same machinery as the decoder.
+  1. **Candidate discovery = ONE multi-payload sort.** Rows
+     (gram, position, next-8-bytes, prev-4-bytes) are sorted by gram;
+     the nearest previous occurrence of every position's 4-gram is then
+     simply the *adjacent sorted row* (stable sort keeps positions
+     ascending inside equal-gram groups). Forward match extension
+     (+0..8 bytes) and backward extension (0..4 bytes, the catch-up of
+     lz4.c:1104-1109) are elementwise XOR/byte-count compares against
+     the neighbour row's carried context words. A second sort by
+     position restores positional order. No gathers, exact matches.
+  2. **Chain-run long matches.** If candidates advance in lockstep
+     (c(p+1) == c(p)+1) for r consecutive positions, bytes
+     [p, p+r+3) match exactly — a reverse cummin gives r in O(n) and
+     captures RLE/periodic regions at full length.
+  3. **Greedy parse = token-hop scan.** Literal runs are skipped via a
+     next-match-position reverse cummin, so the cursor only stops at
+     matches: a lax.scan of cap_n/4 steps, each a per-block 1-element
+     gather (~0.7 us/step, independent of batch width), collects the
+     token list [T] directly.
+  4. **Emission = merge-by-sort.** Sequence rows (keyed by their output
+     offset, carrying all fields) are merged with output-byte rows
+     (keyed by byte position) in one stable sort; a last-valid
+     associative scan propagates each sequence's fields to the bytes
+     it covers; a second sort extracts the bytes in order. The final
+     literal-only sequence is just one more merged row. The only
+     remaining random gather is the literal-byte fetch.
 
 Output bytes need not equal the reference's byte-for-byte (many valid
-encodings exist); they decode bit-exactly to the input with any LZ4
-decoder and ratio is comparable (the exact matcher typically finds more
-matches than the reference's lossy hash table; chain breaks cost a few
-tokens back).
+encodings exist); they decode bit-exactly with any LZ4 decoder, and the
+exact sorted matcher typically beats the reference's lossy hash table
+on compressed size.
 
 Dictionary/linked-block support mirrors LZ4_compress_fast_continue's
 prefix mode (lz4.c:1707-1783): an optional right-aligned 64 KB history
@@ -58,12 +58,39 @@ from lz4_tpu.constants import (
 )
 
 DICT_CAP = 65536     # static history window capacity (64 KB)
-BACK_EXT = 16        # bounded back-extension depth (catch-up analog)
-FWD_EXT = 12         # bounded forward extension across chain breaks
 
 
-def _ceil_log2(n: int) -> int:
-    return max(1, int(np.ceil(np.log2(max(2, n)))))
+def _shift_left(a, k, fill):
+    """a shifted toward lower indices: out[i] = a[i+k]."""
+    if k == 0:
+        return a
+    return jnp.concatenate([a[k:], jnp.full((k,), fill, a.dtype)])
+
+
+def _shift_right(a, k, fill):
+    """a shifted toward higher indices: out[i] = a[i-k]."""
+    if k == 0:
+        return a
+    return jnp.concatenate([jnp.full((k,), fill, a.dtype), a[:-k]])
+
+
+def _low_zero_bytes(x):
+    """#matching low bytes (0..3) of a uint32 XOR value; only used when
+    x != 0 (x == 0 is handled by the caller)."""
+    b0 = (x & jnp.uint32(0xFF)) == 0
+    b1 = (x & jnp.uint32(0xFFFF)) == 0
+    b2 = (x & jnp.uint32(0xFFFFFF)) == 0
+    return b0.astype(jnp.int32) + b1.astype(jnp.int32) + b2.astype(jnp.int32)
+
+
+def _high_zero_bytes(x):
+    """#matching high bytes (0..4) of a uint32 XOR value."""
+    h0 = (x & jnp.uint32(0xFF000000)) == 0
+    h1 = (x & jnp.uint32(0xFFFF0000)) == 0
+    h2 = (x & jnp.uint32(0xFFFFFF00)) == 0
+    z = x == 0
+    return (h0.astype(jnp.int32) + h1.astype(jnp.int32)
+            + h2.astype(jnp.int32) + z.astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -75,10 +102,7 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool):
     dict_buf: uint8[DICT_CAP] right-aligned history; dict_len: int32.
     Returns (out uint8[cap_out], csize int32)."""
     d0 = DICT_CAP if has_dict else 0
-    if has_dict:
-        buf = jnp.concatenate([dict_buf, src])
-    else:
-        buf = src
+    buf = jnp.concatenate([dict_buf, src]) if has_dict else src
     N = buf.shape[0]
     cap_out = compress_bound(cap_n)
     n = n.astype(jnp.int32)
@@ -89,145 +113,174 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool):
     idx = jnp.arange(N, dtype=jnp.int32)
     b32 = buf.astype(jnp.uint32)
 
-    def gat(arr, i, hi=None):
-        hi = (arr.shape[0] - 1) if hi is None else hi
-        return jnp.take(arr, jnp.clip(i, 0, hi), axis=0)
-
-    # ---- step 1: exact nearest-previous-occurrence candidates ----------
+    # ---- stage 1: sorted-space candidates + bounded extensions ----------
     w = (b32
-         | (jnp.roll(b32, -1) << 8)
-         | (jnp.roll(b32, -2) << 16)
-         | (jnp.roll(b32, -3) << 24))
-    order = jnp.argsort(w, stable=True)        # groups equal grams,
-    sw = jnp.take(w, order)                    # positions ascending inside
-    same = jnp.concatenate([jnp.array([False]), sw[1:] == sw[:-1]])
-    prev_in_group = jnp.where(
-        same, jnp.concatenate([jnp.array([0], jnp.int32), order[:-1]]),
-        jnp.int32(-1))
-    # permutation scatter: unique indices take XLA's fast lowering (the
-    # general colliding-scatter path serializes on TPU)
-    cand = jnp.zeros(N, jnp.int32).at[order].set(
-        prev_in_group, unique_indices=True)
+         | (_shift_left(b32, 1, 0) << 8)
+         | (_shift_left(b32, 2, 0) << 16)
+         | (_shift_left(b32, 3, 0) << 24))
+    w2 = _shift_left(w, 4, 0)            # gram at p+4
+    w3 = _shift_left(w, 8, 0)            # gram at p+8
+    w4 = _shift_left(w, 12, 0)           # gram at p+12
+    wb = _shift_right(w, 4, 0)           # gram at p-4 (byte p-1 in MSB)
+    wb2 = _shift_right(w, 8, 0)          # gram at p-8
 
-    valid_cand = (cand >= lo) & (cand >= 0) & (idx - cand <= LZ4_DISTANCE_MAX)
+    sk, spos, sw2, sw3, sw4, swb, swb2 = jax.lax.sort(
+        (w, idx, w2, w3, w4, wb, wb2), num_keys=1, is_stable=True)
 
-    # ---- step 2: chain-run match lengths --------------------------------
-    cand_next = gat(cand, idx + 1)
-    ch = (valid_cand
-          & (idx + 1 <= end - 4)
-          & (cand_next == cand + 1))
-    nc = jnp.where(~ch, idx, jnp.int32(N))
-    nc = jax.lax.cummin(nc, axis=0, reverse=True)    # first chain break >= p
-    ml = jnp.where(valid_cand, nc - idx + MINMATCH, 0)
+    same = jnp.concatenate([jnp.array([False]), sk[1:] == sk[:-1]])
+    prev_pos = _shift_right(spos, 1, 0)
+    x2 = sw2 ^ _shift_right(sw2, 1, 0)
+    x3 = sw3 ^ _shift_right(sw3, 1, 0)
+    x4 = sw4 ^ _shift_right(sw4, 1, 0)
+    ext3 = jnp.where(x3 == 0, 4 + jnp.where(x4 == 0, 4,
+                                            _low_zero_bytes(x4)),
+                     _low_zero_bytes(x3))
+    ext_s = jnp.where(x2 == 0, 4 + ext3, _low_zero_bytes(x2))
+    xb = swb ^ _shift_right(swb, 1, 0)
+    xb2 = swb2 ^ _shift_right(swb2, 1, 0)
+    bk_s = _high_zero_bytes(xb)
+    bk_s = jnp.where(xb == 0, 4 + _high_zero_bytes(xb2), bk_s)
+    cand_s = jnp.where(same, prev_pos, jnp.int32(-1))
+    pack_s = ext_s | (bk_s << 4)
 
-    # bounded forward extension past the chain break (direct byte compare)
-    ext_alive = valid_cand
-    ml_ext = ml
-    for j in range(FWD_EXT):
-        pj = idx + ml + j
-        cj = cand + ml + j
-        ok = (pj < end) & (gat(buf, pj) == gat(buf, cj))
-        ext_alive = ext_alive & ok
-        ml_ext = ml_ext + ext_alive.astype(jnp.int32)
-    ml = ml_ext
+    # ---- stage 2: restore position order (sort by position) -------------
+    _, cand, pk = jax.lax.sort((spos, cand_s, pack_s), num_keys=1,
+                               is_stable=True)
+    ext = pk & 15
+    bk4 = pk >> 4
 
-    # clamp to the end-of-block literal rules (lz4.c:242-249 behaviour)
+    valid = (cand >= lo) & (cand >= 0) & (idx - cand <= LZ4_DISTANCE_MAX)
+
+    # chain-run lengths (lockstep candidates => exact long matches)
+    cand_next = _shift_left(cand, 1, jnp.int32(-1))
+    ch = valid & (idx + 1 <= end - 4) & (cand_next == cand + 1)
+    nc = jax.lax.cummin(jnp.where(~ch, idx, jnp.int32(N)), axis=0,
+                        reverse=True)
+    ml = jnp.where(valid,
+                   jnp.maximum(nc - idx + MINMATCH, MINMATCH + ext), 0)
     ml = jnp.minimum(ml, end - LASTLITERALS - idx)
-    is_match = (valid_cand
-                & (idx >= d0)
-                & (idx <= end - MFLIMIT)
+    is_match = (valid & (idx >= d0) & (idx <= end - MFLIMIT)
                 & (ml >= MINMATCH))
 
-    # ---- step 3: greedy parse orbit (gather-only binary lifting) --------
-    # TPU scatters serialize, so the reach-set pointer-doubling formulation
-    # is slow; instead build jump tables F_k = f^(2^k) (pure gathers) and,
-    # for every position p, greedily descend from the block start: the
-    # walk lands exactly on p iff p is a parse cursor position.
-    f = jnp.where(is_match, idx + ml, idx + 1)
-    f = jnp.where((idx >= end) | (idx < d0), jnp.int32(N), jnp.minimum(f, N))
-    f_ext = jnp.concatenate([f, jnp.array([N], jnp.int32)])
-    n_levels = _ceil_log2(N) + 1
-    levels = [f_ext]
-    for _ in range(n_levels - 1):
-        levels.append(jnp.take(levels[-1], levels[-1]))
-    cur = jnp.full(N, d0, jnp.int32)
-    for k in range(n_levels - 1, -1, -1):
-        nxt = jnp.take(levels[k], cur)
-        cur = jnp.where(nxt <= idx, nxt, cur)
-    on_orbit = cur == idx
-    tok = on_orbit & is_match                       # match-token positions
+    # ---- stage 3: token-hop parse scan ----------------------------------
+    # next match position at/after p (literal runs are skipped in O(1))
+    nm = jax.lax.cummin(jnp.where(is_match, idx, jnp.int32(N)), axis=0,
+                        reverse=True)
+    nm_ext = jnp.concatenate([nm, jnp.array([N], jnp.int32)])
+    ml_ext = jnp.concatenate([ml, jnp.array([0], jnp.int32)])
+    off = jnp.where(valid, idx - cand, 0)
+    # clamp back-extension by window start (anchor clamp happens later)
+    bk4 = jnp.minimum(bk4, jnp.maximum(cand - lo, 0))
+    packed = (ml | (jnp.minimum(bk4, 8) << 18)
+              | jnp.int32(0))            # ml:18 bits, bk:4 bits
+    packed_ext = jnp.concatenate([packed, jnp.array([0], jnp.int32)])
+    off_ext = jnp.concatenate([off, jnp.array([0], jnp.int32)])
 
-    # ---- step 4: anchors + back-extension --------------------------------
-    # anchor(p) = end of the previous emitted match before p (or block start)
-    prev_end = jnp.where(tok, idx + ml, 0)
-    prev_end = jax.lax.cummax(prev_end, axis=0)
-    anchor = jnp.maximum(jnp.int32(d0),
-                         jnp.concatenate([jnp.array([0], jnp.int32),
-                                          prev_end[:-1]]))
+    T = cap_n // MINMATCH + 2            # max #matches per block
 
-    bk_alive = tok
-    bk = jnp.zeros(N, jnp.int32)
-    for j in range(BACK_EXT):
-        pj = idx - 1 - j
-        cj = cand - 1 - j
-        ok = (pj >= anchor) & (cj >= lo) & (gat(buf, pj) == gat(buf, cj))
-        bk_alive = bk_alive & ok
-        bk = bk + bk_alive.astype(jnp.int32)
-    bk = jnp.minimum(bk, idx - anchor)
+    cur0 = nm_ext[d0]
 
-    # ---- per-sequence fields --------------------------------------------
-    lit_base = anchor
-    L = jnp.where(tok, idx - bk - anchor, 0)        # literal run length
-    off = idx - cand
-    M4 = jnp.where(tok, ml + bk - MINMATCH, 0)      # matchlen - 4 code
+    def hop(cur, _):
+        step = jnp.take(packed_ext, cur) & ((1 << 18) - 1)   # ml at cur
+        nxt = jnp.take(nm_ext, jnp.minimum(cur + step, N))
+        return nxt, cur
+
+    _, tokpos = jax.lax.scan(hop, cur0, None, length=T)
+    tmask = tokpos < N
+
+    # ---- stage 4: per-token fields (2 batched gathers + elementwise) ----
+    g1 = jnp.take(packed_ext, tokpos)
+    ml_t = g1 & ((1 << 18) - 1)
+    bk_t = g1 >> 18
+    off_t = jnp.take(off_ext, tokpos)
+
+    tok_end = jnp.where(tmask, tokpos + ml_t, jnp.int32(d0))
+    anchor = jnp.concatenate([jnp.array([d0], jnp.int32), tok_end[:-1]])
+    anchor = jax.lax.cummax(anchor, axis=0)    # masked rows carry forward
+    bk_eff = jnp.clip(jnp.minimum(bk_t, tokpos - anchor), 0, None)
+    L = jnp.where(tmask, tokpos - bk_eff - anchor, 0)
+    M4 = jnp.where(tmask, ml_t + bk_eff - MINMATCH, 0)
+    base = jnp.where(tmask, anchor, 0)
 
     def ext_count(v):
         return jnp.where(v < 15, 0, 1 + (v - 15) // 255)
 
     el = ext_count(L)
     em = ext_count(M4)
-    seq_bytes = jnp.where(tok, 1 + el + L + 2 + em, 0)
-
+    seq_bytes = jnp.where(tmask, 1 + el + L + 2 + em, 0)
     csum = jnp.cumsum(seq_bytes)
     out_start = csum - seq_bytes
-    total_seq = csum[-1] if N else jnp.int32(0)
+    total_seq = csum[-1]
 
-    # final literal-only sequence (format: last sequence is literals)
-    fanchor = jnp.maximum(jnp.int32(d0), jnp.max(prev_end))
+    # final literal-only sequence as one more row
+    fanchor = jnp.maximum(jnp.int32(d0), jnp.max(tok_end))
     FL = end - fanchor
     fel = ext_count(FL)
     csize = total_seq + 1 + fel + FL
 
-    # ---- step 5: emission (searchsorted over the monotone cumsum) -------
-    # csum is non-decreasing over positions and strictly increases exactly
-    # at match tokens, so the token covering output byte o is the first
-    # position whose inclusive cumsum exceeds o — a pure searchsorted +
-    # field gathers (no scatters: TPU scatters serialize).
+    # ---- stage 5: emission (merge-by-sort + last-valid scan) ------------
     o = jnp.arange(cap_out, dtype=jnp.int32)
-    p_star = jnp.searchsorted(csum, o, side="right").astype(jnp.int32)
+    BIG = jnp.int32(2 * cap_out + 4)
 
-    def at_tok(v):
-        return jnp.take(v, jnp.clip(p_star, 0, N - 1))
+    srow_key = jnp.where(tmask, out_start, BIG)
+    srow_key = jnp.concatenate([srow_key, total_seq[None]])   # final row
+    sL = jnp.concatenate([L, FL[None]])
+    sel = jnp.concatenate([el, fel[None]])
+    soff = jnp.concatenate([off_t * tmask, jnp.array([0], jnp.int32)])
+    sM4 = jnp.concatenate([M4, jnp.array([0], jnp.int32)])
+    sbase = jnp.concatenate([base, fanchor[None]])
 
-    key_o = at_tok(out_start)
-    L_o, base_o, el_o, off_o, M4_o = map(
-        at_tok, [L, lit_base, el, off, M4])
+    nseq = T + 1
+    # merged rows: sequences (tag 0) then bytes (tag 1); equal output
+    # offset sorts the sequence row first
+    mkey = jnp.concatenate([
+        jnp.minimum(srow_key, BIG) * 2,
+        o * 2 + 1,
+    ])
+    f_start = jnp.concatenate([jnp.where(srow_key < BIG, srow_key, -1),
+                               jnp.full(cap_out, -1, jnp.int32)])
+    zpad = jnp.zeros(cap_out, jnp.int32)
+    f_L = jnp.concatenate([sL, zpad])
+    f_el = jnp.concatenate([sel, zpad])
+    f_off = jnp.concatenate([soff, zpad])
+    f_M4 = jnp.concatenate([sM4, zpad])
+    f_base = jnp.concatenate([sbase, zpad])
+    slot = jnp.concatenate([jnp.full(nseq, cap_out, jnp.int32), o])
 
-    in_final = o >= total_seq
-    key_o = jnp.where(in_final, total_seq, key_o)
-    L_o = jnp.where(in_final, FL, L_o)
-    base_o = jnp.where(in_final, fanchor, base_o)
-    el_o = jnp.where(in_final, fel, el_o)
-    M4_o = jnp.where(in_final, 0, M4_o)
+    (smk, g_start, g_L, g_el, g_off, g_M4, g_base, g_slot) = jax.lax.sort(
+        (mkey, f_start, f_L, f_el, f_off, f_M4, f_base, slot),
+        num_keys=1, is_stable=True)
 
+    def last_valid(a, b):
+        keep = b[0] >= 0
+        return tuple(jnp.where(keep, y, x) for x, y in zip(a, b))
+
+    (p_start, p_L, p_el, p_off, p_M4, p_base) = jax.lax.associative_scan(
+        last_valid, (g_start, g_L, g_el, g_off, g_M4, g_base))
+
+    # extract byte rows in output order (sequence rows park at the end)
+    bkey = jnp.where(g_slot < cap_out, g_slot, BIG)
+    (_, key_o, L_o, el_o, off_o, M4_o, base_o) = jax.lax.sort(
+        (bkey, p_start, p_L, p_el, p_off, p_M4, p_base),
+        num_keys=1, is_stable=True)
+    key_o = key_o[:cap_out]
+    L_o = L_o[:cap_out]
+    el_o = el_o[:cap_out]
+    off_o = off_o[:cap_out]
+    M4_o = M4_o[:cap_out]
+    base_o = base_o[:cap_out]
+
+    # ---- per-byte value computation -------------------------------------
     t = o - key_o
     nfull = jnp.maximum(L_o - 15, 0) // 255
     mfull = jnp.maximum(M4_o - 15, 0) // 255
 
-    token_byte = (jnp.minimum(L_o, 15) << 4) | jnp.where(
-        in_final, 0, jnp.minimum(M4_o, 15))
+    token_byte = (jnp.minimum(L_o, 15) << 4) | jnp.minimum(M4_o, 15)
     litext_byte = jnp.where(t - 1 < nfull, 255, L_o - 15 - 255 * nfull)
-    lit_byte = gat(b32, base_o + (t - 1 - el_o)).astype(jnp.int32)
+    # literal fetch: the only random gather left (indices are in fact
+    # monotone across o — future optimization: merge instead)
+    lit_byte = jnp.take(b32, jnp.clip(base_o + (t - 1 - el_o), 0, N - 1)
+                        ).astype(jnp.int32)
     off_lo_byte = off_o & 0xFF
     off_hi_byte = off_o >> 8
     matext_byte = jnp.where(t - (3 + el_o + L_o) < mfull, 255,
