@@ -59,7 +59,9 @@ def main() -> None:
     data = data[:n]
     B = n // bs
     # bound HBM liveness: process in chunks of CHUNK blocks
-    CHUNK = min(B, int(os.environ.get("LZ4_TPU_BENCH_CHUNK", "128")))
+    # chunk of 32: compile time through the remote relay grows steeply
+    # with the batch dimension; 32 is the precompiled sweet spot
+    CHUNK = min(B, int(os.environ.get("LZ4_TPU_BENCH_CHUNK", "32")))
     B = B - B % CHUNK
     n = B * bs
     data = data[:n]
@@ -78,10 +80,13 @@ def main() -> None:
             sizes.append(csizes)
         return outs[-1], jnp.concatenate(sizes), outs
 
-    _log(f"corpus {n/1e6:.0f} MB, {B} blocks of {bs}, chunk {CHUNK}; compiling encode...")
-    # warmup/compile
+    _log(f"corpus {n/1e6:.0f} MB, {B} blocks of {bs}, chunk {CHUNK}; "
+         "compiling encode (first dispatch in a fresh process takes "
+         "minutes through the device relay)...")
+    # warmup/compile — sync with a dependent transfer (block_until_ready
+    # is not a barrier through the relay)
     out, csizes, all_out = enc()
-    out.block_until_ready()
+    np.asarray(out[-1, -1])
 
     def sync(r):
         """Force completion of the whole computation with a tiny dependent
@@ -104,6 +109,7 @@ def main() -> None:
             best = min(best, dt)
             elapsed += dt
             runs += 1
+            _log(f"  run {runs}: {dt * 1000:.0f}ms")
         return best
 
     _log("encode compiled; timing...")

@@ -53,7 +53,10 @@ class HostBackend:
         out = []
         for i, b in enumerate(blocks):
             d = dict_prefixes[i] if dict_prefixes else None
-            if level >= 2:
+            if level >= 2 and self._native is not None:
+                out.append(self._native.compress_hc(b, level=level,
+                                                    dict_prefix=d))
+            elif level >= 2:
                 out.append(compress_block_hc(b, level=level, dict_prefix=d))
             elif self._native is not None:
                 out.append(self._native.compress(

@@ -91,6 +91,10 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.lz4t_decompress_block.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
         ctypes.c_char_p, ctypes.c_long]
+    lib.lz4t_compress_hc.restype = ctypes.c_long
+    lib.lz4t_compress_hc.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
+        ctypes.c_long, ctypes.c_int]
 
 
 class _XXH:
@@ -130,6 +134,21 @@ class _BlockCodec:
             src, len(data), dst, cap, len(d), max(1, acceleration))
         if n <= 0:
             raise RuntimeError("native compression failed")
+        return dst.raw[:n]
+
+    def compress_hc(self, data: bytes, level: int = 9,
+                    dict_prefix: bytes | None = None) -> bytes:
+        from lz4_tpu.constants import compress_bound
+        data = bytes(data)
+        d = bytes(dict_prefix or b"")[-65535:]
+        buf = ctypes.create_string_buffer(d + data, len(d) + len(data))
+        src = ctypes.cast(ctypes.byref(buf, len(d)), ctypes.c_char_p)
+        cap = compress_bound(len(data))
+        dst = ctypes.create_string_buffer(cap)
+        n = self._lib.lz4t_compress_hc(src, len(data), dst, cap, len(d),
+                                       level)
+        if n <= 0:
+            raise RuntimeError("native HC compression failed")
         return dst.raw[:n]
 
     def decompress(self, comp: bytes, max_out: int,

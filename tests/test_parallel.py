@@ -1,0 +1,87 @@
+"""Parallel engine tests on the virtual 8-device CPU mesh: shard_map
+linked-mode step (ppermute history carry + ordered-assembly all-gather)
+and the sharded batch codec. The multi-chip analog of the reference's
+MT pipeline tests (lz4io.c 'Multithreading commands' in
+test-lz4-basic.sh)."""
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lz4_tpu.block.encode_jax import DICT_CAP
+from lz4_tpu.block.ref_codec import compress_block, decompress_block
+from lz4_tpu.parallel.engine import (
+    ShardedCodec,
+    TpuBackend,
+    linked_encode_step,
+)
+from lz4_tpu.utils.datagen import gen_buffer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs a multi-device mesh")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()[:8]), ("data",))
+
+
+def test_linked_encode_step(mesh):
+    ndev = 8
+    cap_n = 1024
+    B = 2 * ndev
+    data = gen_buffer(B * cap_n, match_prob=0.7, seed=3)
+    src = np.frombuffer(data, np.uint8).reshape(B, cap_n).copy()
+    lens = np.full(B, cap_n, np.int32)
+    head_dict = np.zeros((1, DICT_CAP), np.uint8)
+    head_len = np.zeros(1, np.int32)
+    shard = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    comp, csizes, offsets, total = linked_encode_step(
+        jax.device_put(src, shard), jax.device_put(lens, shard),
+        jax.device_put(head_dict, repl), jax.device_put(head_len, repl),
+        cap_n=cap_n, mesh=mesh)
+    comp = np.asarray(comp)
+    csizes = np.asarray(csizes)
+    offsets = np.asarray(offsets)
+    total = int(np.asarray(total)[0])
+    # ordered-assembly invariants (the WriteRegister analog)
+    assert total == csizes.sum()
+    assert offsets[0] == 0
+    assert (np.diff(offsets) == csizes[:-1]).all()
+    # every block decodes against the previous block's raw tail,
+    # including across the shard boundary (the ppermute carry)
+    for i in range(B):
+        prefix = src[i - 1].tobytes() if i > 0 else None
+        dec = decompress_block(comp[i, : csizes[i]].tobytes(), cap_n,
+                               dict_prefix=prefix)
+        assert dec == src[i].tobytes(), f"linked block {i}"
+
+
+def test_sharded_codec_roundtrip(mesh):
+    codec = ShardedCodec(mesh)
+    B = 16
+    cap = 2048
+    blocks = [gen_buffer(cap, match_prob=0.6, seed=i) for i in range(B)]
+    comp_ref = [compress_block(b) for b in blocks]
+    cap_in = max(len(c) for c in comp_ref)
+    comp = np.zeros((B, cap_in), np.uint8)
+    clens = np.zeros(B, np.int32)
+    for i, c in enumerate(comp_ref):
+        comp[i, : len(c)] = np.frombuffer(c, np.uint8)
+        clens[i] = len(c)
+    from lz4_tpu.block.decode_jax import DICT_CAP as DC
+    out, out_lens, errs = codec.decode(
+        comp, clens, np.zeros((B, DC), np.uint8), np.zeros(B, np.int32),
+        cap_out=cap, has_dict=False)
+    assert not np.asarray(errs).any()
+    for i, b in enumerate(blocks):
+        assert np.asarray(out)[i, : cap].tobytes() == b
+
+
+def test_tpu_backend_on_mesh(mesh):
+    be = TpuBackend(ShardedCodec(mesh))
+    blocks = [gen_buffer(8192, match_prob=0.5, seed=i) for i in range(5)]
+    comp = be.compress_batch(blocks)
+    rt = be.decompress_batch(comp, [len(b) for b in blocks])
+    assert rt == blocks
