@@ -95,6 +95,10 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.lz4t_compress_hc.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
         ctypes.c_long, ctypes.c_int]
+    lib.lz4t_compress_destsize.restype = ctypes.c_long
+    lib.lz4t_compress_destsize.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long)]
 
 
 class _XXH:
@@ -150,6 +154,17 @@ class _BlockCodec:
         if n <= 0:
             raise RuntimeError("native HC compression failed")
         return dst.raw[:n]
+
+    def compress_destsize(self, data: bytes, dst_cap: int) -> tuple[bytes, int]:
+        """Fill-output mode (LZ4_compress_destSize analog): pack as much
+        of `data` as fits in exactly dst_cap bytes. Returns
+        (compressed, consumed_src_bytes)."""
+        data = bytes(data)
+        dst = ctypes.create_string_buffer(max(1, dst_cap))
+        consumed = ctypes.c_long(0)
+        n = self._lib.lz4t_compress_destsize(
+            data, len(data), dst, dst_cap, ctypes.byref(consumed))
+        return dst.raw[:n], consumed.value
 
     def decompress(self, comp: bytes, max_out: int,
                    dict_prefix: bytes | None = None) -> bytes:

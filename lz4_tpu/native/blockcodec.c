@@ -147,6 +147,91 @@ long lz4t_compress_block(const uint8_t *src, long n, uint8_t *dst,
     return (long)(op - dst);
 }
 
+/* Fill-output compression (LZ4_compress_destSize behavioural analog,
+ * lz4.h:589-681): compress as much of src as fits into exactly
+ * dst_cap output bytes. Returns the compressed size; *consumed gets the
+ * number of src bytes packed. */
+long lz4t_compress_destsize(const uint8_t *src, long n, uint8_t *dst,
+                            long dst_cap, long *consumed) {
+    uint32_t htab[HASH_SIZE];
+    const uint8_t *ip = src, *anchor = src;
+    const uint8_t *iend = src + n;
+    const uint8_t *mflimit = iend - MFLIMIT;
+    const uint8_t *matchlimit = iend - LASTLITERALS;
+    uint8_t *op = dst, *oend = dst + dst_cap;
+    *consumed = 0;
+    if (n == 0 || dst_cap < 1) {
+        if (dst_cap >= 1) { *dst = 0; return 1; }
+        return 0;
+    }
+    memset(htab, 0xFF, sizeof(htab));
+    if (n >= MFLIMIT + 1) {
+        while (ip <= mflimit) {
+            uint32_t h = hash4(read32(ip));
+            uint32_t cpos = htab[h];
+            const uint8_t *cand = src + cpos;
+            htab[h] = (uint32_t)(ip - src);
+            if (cpos != 0xFFFFFFFFu && cand < ip &&
+                (long)(ip - cand) <= WINDOW &&
+                read32(cand) == read32(ip)) {
+                size_t ml = MINMATCH +
+                    match_len(ip + MINMATCH, cand + MINMATCH, matchlimit);
+                while (ip > anchor && cand > src && ip[-1] == cand[-1]) {
+                    ip--; cand--; ml++;
+                }
+                {
+                    size_t lit = (size_t)(ip - anchor);
+                    size_t off = (size_t)(ip - cand);
+                    size_t mlc = ml - MINMATCH;
+                    /* exact budget: this sequence + a closing token with
+                     * enough literals to satisfy the end-of-block rules
+                     * (last 5 bytes literal; last match >= 12 bytes
+                     * before the end: ml >= 4 so 8 literals suffice) */
+                    size_t need = 1 + lit + lit / 255 + 2
+                        + (mlc >= 15 ? 1 + (mlc - 15) / 255 + 1 : 0) + 9;
+                    if (op + need > oend)
+                        break;        /* stop before this sequence */
+                    {
+                        uint8_t *tok = op++;
+                        if (lit >= 15) { *tok = 15 << 4;
+                            op = emit_length(op, lit); }
+                        else *tok = (uint8_t)(lit << 4);
+                        memcpy(op, anchor, lit); op += lit;
+                        *op++ = (uint8_t)(off & 0xFF);
+                        *op++ = (uint8_t)(off >> 8);
+                        if (mlc >= 15) { *tok |= 15;
+                            op = emit_length(op, mlc); }
+                        else *tok |= (uint8_t)mlc;
+                    }
+                }
+                ip += ml; anchor = ip;
+            } else {
+                ip++;
+            }
+        }
+    }
+    /* closing literals: as many as fit */
+    {
+        size_t avail = (size_t)(oend - op);
+        size_t lit = (size_t)(iend - anchor);
+        size_t fit;
+        if (avail == 0) { *consumed = (long)(anchor - src);
+            return (long)(op - dst); }
+        /* solve lit header + lit <= avail */
+        fit = lit;
+        while (1 + (fit >= 15 ? 1 + (fit - 15) / 255 : 0) + fit > avail) {
+            if (fit == 0) break;
+            fit--;
+        }
+        if (fit >= 15) { *op++ = 15 << 4; op = emit_length(op, fit); }
+        else *op++ = (uint8_t)(fit << 4);
+        memcpy(op, anchor, fit); op += fit;
+        anchor += fit;
+    }
+    *consumed = (long)(anchor - src);
+    return (long)(op - dst);
+}
+
 /* Safe decode of comp[0..clen) into dst[0..cap); `dict`/`dict_len` is
  * the history window logically preceding dst. Returns the decoded size
  * or -1 on malformed input. Never reads/writes out of bounds. */

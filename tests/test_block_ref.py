@@ -115,3 +115,24 @@ def test_acceleration_tradeoff():
     for a in (1, 8, 64):
         comp = compress_block(data, acceleration=a)
         assert decompress_block(comp, len(data)) == data
+
+
+def test_native_destsize():
+    """Fill-output mode: valid stream, byte-exact prefix, fits budget
+    (LZ4_compress_destSize analog)."""
+    import pytest
+    try:
+        from lz4_tpu import native
+        bc = native.blockcodec
+    except ImportError:
+        pytest.skip("native backend unavailable")
+    from lz4_tpu.block.ref_codec import decompress_block
+    from lz4_tpu.utils.datagen import gen_buffer
+    raw = gen_buffer(50000, match_prob=0.6, seed=3)
+    for cap in (64, 500, 4000, 20000, 200000):
+        comp, consumed = bc.compress_destsize(raw, cap)
+        assert len(comp) <= cap
+        assert 0 <= consumed <= len(raw)
+        if consumed:
+            dec = decompress_block(comp, consumed)
+            assert dec == raw[:consumed]
