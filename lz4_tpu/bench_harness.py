@@ -68,6 +68,30 @@ def bench_mem(data: bytes, level: int, prefs, *, backend=None,
     }
 
 
+def bench_decode_only(blob: bytes, *, backend=None,
+                      nb_seconds: float = NB_SECONDS_DEFAULT) -> dict:
+    """Decode-only benchmark of an existing .lz4 file (bench.c:126-143
+    behaviour when inputs are already compressed)."""
+    import time as _t
+
+    from lz4_tpu.frame.reader import decompress_frame
+
+    best = float("inf")
+    elapsed = 0.0
+    runs = 0
+    out = b""
+    while elapsed < nb_seconds or runs < 2:
+        t0 = _t.perf_counter()
+        out = decompress_frame(blob, backend=backend)
+        dt = _t.perf_counter() - t0
+        best = min(best, dt)
+        elapsed += dt
+        runs += 1
+    return {"level": 0, "ratio": len(out) / len(blob) if blob else 0.0,
+            "comp_MBs": 0.0, "dec_MBs": (len(out) / 1e6) / best,
+            "csize": len(blob)}
+
+
 def bench_files(paths: list[str], levels: list[int], prefs, *,
                 backend=None, nb_seconds: float = NB_SECONDS_DEFAULT,
                 out=sys.stderr) -> list[dict]:
@@ -79,6 +103,19 @@ def bench_files(paths: list[str], levels: list[int], prefs, *,
             with open(p, "rb") as f:
                 datas.append(f.read())
     data = b"".join(datas)
+    # decode-only mode when every input is already an LZ4 frame
+    from lz4_tpu.constants import LZ4F_MAGIC, LEGACY_MAGIC
+    import struct as _s
+    if all(len(d) >= 4 and _s.unpack("<I", d[:4])[0] in
+           (LZ4F_MAGIC, LEGACY_MAGIC) for d in datas):
+        results = []
+        for d in datas:
+            r = bench_decode_only(d, backend=backend,
+                                  nb_seconds=nb_seconds)
+            results.append(r)
+            out.write("decode-only: %9d -> ratio %5.3f, %7.1f MB/s\n" % (
+                r["csize"], r["ratio"], r["dec_MBs"]))
+        return results
     results = []
     for level in levels:
         r = bench_mem(data, level, prefs, backend=backend,

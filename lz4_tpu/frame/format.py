@@ -56,6 +56,13 @@ class Preferences:
     favor_dec_speed: bool = False
 
 
+def get_block_size(block_size_id: int) -> int:
+    """LZ4F_getBlockSize analog (lz4frame.h:649-747)."""
+    if block_size_id not in BLOCK_SIZES:
+        raise FrameError("maxBlockSize_invalid", str(block_size_id))
+    return BLOCK_SIZES[block_size_id]
+
+
 def write_frame_header(info: FrameInfo) -> bytes:
     flg = (LZ4F_VERSION << 6)
     if info.block_independent:

@@ -196,6 +196,27 @@ class FrameCompressor:
             if len(self._history) > LZ4_DISTANCE_MAX:
                 del self._history[: len(self._history) - LZ4_DISTANCE_MAX]
 
+    def update_uncompressed(self, data: bytes) -> bytes:
+        """Emit `data` as stored (uncompressed) blocks without running
+        the compressor (LZ4F_uncompressedUpdate analog,
+        lz4frame.h:649-747). Flushes buffered compressed input first to
+        preserve ordering; linked-mode history still advances."""
+        assert self._started and not self._ended
+        data = bytes(data)
+        out = bytearray(self.flush())
+        self._xxh.update(data)
+        self._total += len(data)
+        bs = self._info.block_max_size
+        for i in range(0, len(data), bs):
+            raw = data[i: i + bs]
+            hdr = struct.pack("<I", len(raw) | BLOCK_UNCOMPRESSED_FLAG)
+            block = hdr + raw
+            if self._info.block_checksum:
+                block += struct.pack("<I", xxh32(raw, 0))
+            out += block
+            self._advance_history(raw)
+        return bytes(out)
+
     def flush(self) -> bytes:
         """Compress buffered partial block now (LZ4F_flush analog)."""
         if not self._buf:

@@ -55,6 +55,39 @@ def gen_buffer(size: int, match_prob: float = 0.7, seed: int = 0,
     return out.tobytes()
 
 
+_WORDS = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+          "eiusmod tempor incididunt ut labore et dolore magna aliqua enim "
+          "ad minim veniam quis nostrud exercitation ullamco laboris nisi "
+          "aliquip ex ea commodo consequat duis aute irure in reprehenderit "
+          "voluptate velit esse cillum eu fugiat nulla pariatur excepteur "
+          "sint occaecat cupidatat non proident sunt culpa qui officia "
+          "deserunt mollit anim id est laborum").split()
+
+
+def gen_text(size: int, seed: int = 0) -> bytes:
+    """Deterministic natural-text-like generator (the reference's
+    lorem.c / LOREM_genBuffer analog): Zipf-ish word draws, sentence
+    capitalization and punctuation."""
+    rng = np.random.default_rng(seed)
+    out = []
+    n = 0
+    sentence = 0
+    ranks = rng.zipf(1.3, size // 4) % len(_WORDS)
+    i = 0
+    while n < size:
+        w = _WORDS[int(ranks[i % len(ranks)])]
+        i += 1
+        if sentence == 0:
+            w = w.capitalize()
+        sentence += 1
+        if sentence >= int(rng.integers(6, 14)):
+            w += "."
+            sentence = 0
+        out.append(w)
+        n += len(w) + 1
+    return (" ".join(out))[:size].encode()
+
+
 def mixed_corpus(total: int, seed: int = 0) -> bytes:
     """A Silesia-like mixed-compressibility corpus: thirds of text-like,
     binary-like, and near-incompressible data."""
