@@ -69,6 +69,7 @@ class FrameDecompressor:
         self._cur_block_size = 0
         self._cur_block_raw = False
         self._pending_payload: bytes | None = None
+        self._batch: list[tuple[bool, bytes]] = []
 
     @property
     def frame_info(self) -> FrameInfo | None:
@@ -88,7 +89,12 @@ class FrameDecompressor:
 
     def feed(self, data: bytes) -> tuple[bytes, int]:
         """Push bytes in; returns (decoded_output, consumed). Bytes beyond
-        the end of the current frame are not consumed."""
+        the end of the current frame are not consumed.
+
+        Independent-mode blocks that arrive complete within one feed()
+        are decoded as ONE batch (the device grid is the worker pool);
+        linked blocks decode serially since each needs the previous
+        block's output as history."""
         data = bytes(data)
         out = bytearray()
         consumed = 0
@@ -105,6 +111,9 @@ class FrameDecompressor:
             chunk = bytes(self._buf[: self._need])
             del self._buf[: self._need]
             out += self._step(chunk)
+        out_flush = self._flush_batch()
+        if out_flush:
+            out += out_flush
         return bytes(out), consumed
 
     # ------------------------------------------------------------- stages
@@ -158,12 +167,13 @@ class FrameDecompressor:
     def _on_block_header(self, chunk: bytes) -> bytes:
         word = struct.unpack("<I", chunk)[0]
         if word == 0:   # endmark
+            out = self._flush_batch()   # checksum/size checks need order
             if self._info.content_checksum:
                 self._stage = self._CONTENT_CHECKSUM
                 self._need = 4
             else:
                 self._finish()
-            return b""
+            return out
         self._cur_block_raw = bool(word & BLOCK_UNCOMPRESSED_FLAG)
         size = word & ~BLOCK_UNCOMPRESSED_FLAG
         # neither stored nor compressed blocks may exceed blockMaxSize
@@ -192,6 +202,12 @@ class FrameDecompressor:
         return self._decode_block(payload)
 
     def _decode_block(self, payload: bytes) -> bytes:
+        self._stage = self._BLOCK_HEADER
+        self._need = 4
+        if self._info.block_independent and not self._dict:
+            # defer: batch with neighbouring blocks (flushed per feed())
+            self._batch.append((self._cur_block_raw, payload))
+            return b""
         if self._cur_block_raw:
             decoded = payload
         else:
@@ -199,6 +215,10 @@ class FrameDecompressor:
             decoded = self.backend.decompress_batch(
                 [payload], [self._info.block_max_size],
                 dict_prefixes=[prefix])[0]
+        self._account(decoded)
+        return decoded
+
+    def _account(self, decoded: bytes) -> None:
         if not self._info.block_independent:
             self._history += decoded
             if len(self._history) > LZ4_DISTANCE_MAX:
@@ -206,9 +226,23 @@ class FrameDecompressor:
         if self._info.content_checksum:
             self._xxh.update(decoded)
         self._total_out += len(decoded)
-        self._stage = self._BLOCK_HEADER
-        self._need = 4
-        return decoded
+
+    def _flush_batch(self) -> bytes:
+        """Decode all deferred independent blocks in one backend call."""
+        if not self._batch:
+            return b""
+        batch = self._batch
+        self._batch = []
+        comp = [p for raw, p in batch if not raw]
+        decoded_iter = iter(self.backend.decompress_batch(
+            comp, [self._info.block_max_size] * len(comp))) if comp \
+            else iter(())
+        out = bytearray()
+        for raw, p in batch:
+            d = p if raw else next(decoded_iter)
+            self._account(d)
+            out += d
+        return bytes(out)
 
     def _on_content_checksum(self, chunk: bytes) -> bytes:
         want = struct.unpack("<I", chunk)[0]

@@ -34,10 +34,13 @@ from lz4_tpu.block.encode_jax import DICT_CAP, encode_blocks
 from lz4_tpu.constants import compress_bound
 
 
-def _pad_cap(n: int, floor: int = 256) -> int:
+def _pad_cap(n: int, floor: int = 65536) -> int:
+    """Round capacities up to the standard frame block tiers (64KB,
+    256KB, 1MB, 4MB): one compiled shape per tier (compiles through the
+    device relay cost minutes, docs/tpu_perf_notes.md)."""
     cap = floor
     while cap < n:
-        cap *= 2
+        cap *= 4
     return cap
 
 
@@ -164,6 +167,11 @@ class TpuBackend:
     host HC tier (quality-first path, to be kernelized in a later round).
     Buckets blocks by padded capacity to bound recompilation."""
 
+    #: canonical per-dispatch batch: keeps the set of compiled shapes
+    #: small (compiles through the device relay cost minutes; see
+    #: docs/tpu_perf_notes.md) — batches are padded up to a multiple
+    CHUNK = 32
+
     def __init__(self, codec: ShardedCodec | None = None,
                  min_device_size: int = 4096):
         self.codec = codec
@@ -173,9 +181,13 @@ class TpuBackend:
         from lz4_tpu.block.backend import HostBackend
         return HostBackend()
 
-    def _round_batch(self, b: int) -> int:
+    def _unit(self) -> int:
         nd = self.codec.n_devices if self.codec else 1
-        return -(-b // nd) * nd
+        return -(-self.CHUNK // nd) * nd
+
+    def _round_batch(self, b: int) -> int:
+        unit = self._unit()
+        return -(-b // unit) * unit
 
     def compress_batch(self, blocks, *, level=0, acceleration=1,
                        dict_prefixes=None):
@@ -207,16 +219,23 @@ class TpuBackend:
                     dict_bufs[i, DICT_CAP - len(d):] = np.frombuffer(
                         d, np.uint8)
                     dict_lens[i] = len(d)
-        if self.codec is not None:
-            out, csizes = self.codec.encode(
-                src, lens, dict_bufs, dict_lens, cap_n=cap_n,
-                has_dict=has_dict)
-        else:
-            out, csizes = encode_blocks(
-                jnp.asarray(src), jnp.asarray(lens), jnp.asarray(dict_bufs),
-                jnp.asarray(dict_lens), cap_n=cap_n, has_dict=has_dict)
-        out = np.asarray(out)
-        csizes = np.asarray(csizes)
+        unit = self._unit()
+        outs, sizes = [], []
+        for i in range(0, B, unit):      # fixed-shape dispatches, pipelined
+            sl = slice(i, i + unit)
+            if self.codec is not None:
+                o, cs = self.codec.encode(
+                    src[sl], lens[sl], dict_bufs[sl], dict_lens[sl],
+                    cap_n=cap_n, has_dict=has_dict)
+            else:
+                o, cs = encode_blocks(
+                    jnp.asarray(src[sl]), jnp.asarray(lens[sl]),
+                    jnp.asarray(dict_bufs[sl]), jnp.asarray(dict_lens[sl]),
+                    cap_n=cap_n, has_dict=has_dict)
+            outs.append(o)
+            sizes.append(cs)
+        out = np.concatenate([np.asarray(o) for o in outs], axis=0)
+        csizes = np.concatenate([np.asarray(c) for c in sizes])
         return [out[i, : csizes[i]].tobytes() for i in range(len(blocks))]
 
     def decompress_batch(self, blocks, max_outs, *, dict_prefixes=None):
@@ -230,8 +249,10 @@ class TpuBackend:
         from lz4_tpu.block.ref_codec import BlockDecodeError
         has_dict = dict_prefixes is not None and any(
             d for d in dict_prefixes)
-        cap_in = _pad_cap(max(len(b) for b in blocks))
+        # one shape per frame block tier: output cap = tier, input cap =
+        # its compress_bound (matches the encoder's worst case)
         cap_out = _pad_cap(max(max_outs))
+        cap_in = max(compress_bound(cap_out), max(len(b) for b in blocks))
         B = self._round_batch(len(blocks))
         comp = np.zeros((B, cap_in), np.uint8)
         lens = np.zeros(B, np.int32)
@@ -246,17 +267,25 @@ class TpuBackend:
                     d = bytes(d)[-DCAP:]
                     dict_bufs[i, DCAP - len(d):] = np.frombuffer(d, np.uint8)
                     dict_lens[i] = len(d)
-        if self.codec is not None:
-            out, out_lens, errs = self.codec.decode(
-                comp, lens, dict_bufs, dict_lens, cap_out=cap_out,
-                has_dict=has_dict)
-        else:
-            out, out_lens, errs = decode_blocks(
-                jnp.asarray(comp), jnp.asarray(lens), jnp.asarray(dict_bufs),
-                jnp.asarray(dict_lens), cap_out=cap_out, has_dict=has_dict)
-        out = np.asarray(out)
-        out_lens = np.asarray(out_lens)
-        errs = np.asarray(errs)
+        unit = self._unit()
+        outs, olens, oerrs = [], [], []
+        for i in range(0, B, unit):      # fixed-shape dispatches, pipelined
+            sl = slice(i, i + unit)
+            if self.codec is not None:
+                o, ol, oe = self.codec.decode(
+                    comp[sl], lens[sl], dict_bufs[sl], dict_lens[sl],
+                    cap_out=cap_out, has_dict=has_dict)
+            else:
+                o, ol, oe = decode_blocks(
+                    jnp.asarray(comp[sl]), jnp.asarray(lens[sl]),
+                    jnp.asarray(dict_bufs[sl]), jnp.asarray(dict_lens[sl]),
+                    cap_out=cap_out, has_dict=has_dict)
+            outs.append(o)
+            olens.append(ol)
+            oerrs.append(oe)
+        out = np.concatenate([np.asarray(o) for o in outs], axis=0)
+        out_lens = np.concatenate([np.asarray(o) for o in olens])
+        errs = np.concatenate([np.asarray(o) for o in oerrs])
         res = []
         for i in range(len(blocks)):
             if errs[i]:
