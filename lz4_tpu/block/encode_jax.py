@@ -219,15 +219,17 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool):
     csize = total_seq + 1 + fel + FL
 
     # ---- stage 5: emission (merge-by-sort + last-valid scan) ------------
+    # per-sequence fields packed into two words to slim the sort
+    # payloads: L|el<<18 (L<2^18, el<2^10 on 64KB tiers) and
+    # off|M4<<16 (both 16-bit; M4 <= 65535 since ml <= cap-5, bk <= 8)
     o = jnp.arange(cap_out, dtype=jnp.int32)
     BIG = jnp.int32(2 * cap_out + 4)
 
     srow_key = jnp.where(tmask, out_start, BIG)
     srow_key = jnp.concatenate([srow_key, total_seq[None]])   # final row
-    sL = jnp.concatenate([L, FL[None]])
-    sel = jnp.concatenate([el, fel[None]])
-    soff = jnp.concatenate([off_t * tmask, jnp.array([0], jnp.int32)])
-    sM4 = jnp.concatenate([M4, jnp.array([0], jnp.int32)])
+    sLel = jnp.concatenate([L | (el << 18), (FL | (fel << 18))[None]])
+    soffM4 = jnp.concatenate([(off_t * tmask) | (M4 << 16),
+                              jnp.array([0], jnp.int32)])
     sbase = jnp.concatenate([base, fanchor[None]])
 
     nseq = T + 1
@@ -240,34 +242,32 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool):
     f_start = jnp.concatenate([jnp.where(srow_key < BIG, srow_key, -1),
                                jnp.full(cap_out, -1, jnp.int32)])
     zpad = jnp.zeros(cap_out, jnp.int32)
-    f_L = jnp.concatenate([sL, zpad])
-    f_el = jnp.concatenate([sel, zpad])
-    f_off = jnp.concatenate([soff, zpad])
-    f_M4 = jnp.concatenate([sM4, zpad])
+    f_Lel = jnp.concatenate([sLel, zpad])
+    f_offM4 = jnp.concatenate([soffM4, zpad])
     f_base = jnp.concatenate([sbase, zpad])
     slot = jnp.concatenate([jnp.full(nseq, cap_out, jnp.int32), o])
 
-    (smk, g_start, g_L, g_el, g_off, g_M4, g_base, g_slot) = jax.lax.sort(
-        (mkey, f_start, f_L, f_el, f_off, f_M4, f_base, slot),
+    (smk, g_start, g_Lel, g_offM4, g_base, g_slot) = jax.lax.sort(
+        (mkey, f_start, f_Lel, f_offM4, f_base, slot),
         num_keys=1, is_stable=True)
 
     def last_valid(a, b):
         keep = b[0] >= 0
         return tuple(jnp.where(keep, y, x) for x, y in zip(a, b))
 
-    (p_start, p_L, p_el, p_off, p_M4, p_base) = jax.lax.associative_scan(
-        last_valid, (g_start, g_L, g_el, g_off, g_M4, g_base))
+    (p_start, p_Lel, p_offM4, p_base) = jax.lax.associative_scan(
+        last_valid, (g_start, g_Lel, g_offM4, g_base))
 
     # extract byte rows in output order (sequence rows park at the end)
     bkey = jnp.where(g_slot < cap_out, g_slot, BIG)
-    (_, key_o, L_o, el_o, off_o, M4_o, base_o) = jax.lax.sort(
-        (bkey, p_start, p_L, p_el, p_off, p_M4, p_base),
+    (_, key_o, pLel_o, poffM4_o, base_o) = jax.lax.sort(
+        (bkey, p_start, p_Lel, p_offM4, p_base),
         num_keys=1, is_stable=True)
     key_o = key_o[:cap_out]
-    L_o = L_o[:cap_out]
-    el_o = el_o[:cap_out]
-    off_o = off_o[:cap_out]
-    M4_o = M4_o[:cap_out]
+    L_o = pLel_o[:cap_out] & ((1 << 18) - 1)
+    el_o = pLel_o[:cap_out] >> 18
+    off_o = poffM4_o[:cap_out] & 0xFFFF
+    M4_o = (poffM4_o[:cap_out] >> 16) & 0xFFFF
     base_o = base_o[:cap_out]
 
     # ---- per-byte value computation -------------------------------------
@@ -277,10 +277,23 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool):
 
     token_byte = (jnp.minimum(L_o, 15) << 4) | jnp.minimum(M4_o, 15)
     litext_byte = jnp.where(t - 1 < nfull, 255, L_o - 15 - 255 * nfull)
-    # literal fetch: the only random gather left (indices are in fact
-    # monotone across o — future optimization: merge instead)
-    lit_byte = jnp.take(b32, jnp.clip(base_o + (t - 1 - el_o), 0, N - 1)
-                        ).astype(jnp.int32)
+    # literal fetch: the source indices are monotone across o (strictly
+    # increasing over literal bytes), so a merge-by-sort replaces the
+    # (slow) random gather
+    is_lit_byte = (t >= 1 + el_o) & (t < 1 + el_o + L_o)
+    q = jnp.where(is_lit_byte, base_o + (t - 1 - el_o), 0)
+    q = jax.lax.cummax(q, axis=0)
+    key3 = jnp.concatenate([idx * 2, jnp.clip(q, 0, N - 1) * 2 + 1])
+    vals3 = jnp.concatenate([b32.astype(jnp.int32) + 1, zpad])  # +1: valid
+    slot3 = jnp.concatenate([jnp.full(N, cap_out, jnp.int32), o])
+    _, v_s, slot_s = jax.lax.sort((key3, vals3, slot3), num_keys=1,
+                                  is_stable=True)
+    filled, = jax.lax.associative_scan(
+        lambda a, b: (jnp.where(b[0] > 0, b[0], a[0]),), (v_s,))
+    bkey3 = jnp.where(slot_s < cap_out, slot_s, BIG)
+    _, lit_sorted = jax.lax.sort((bkey3, filled), num_keys=1,
+                                 is_stable=True)
+    lit_byte = lit_sorted[:cap_out] - 1
     off_lo_byte = off_o & 0xFF
     off_hi_byte = off_o >> 8
     matext_byte = jnp.where(t - (3 + el_o + L_o) < mfull, 255,
