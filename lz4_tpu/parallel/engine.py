@@ -173,9 +173,16 @@ class TpuBackend:
     CHUNK = 32
 
     def __init__(self, codec: ShardedCodec | None = None,
-                 min_device_size: int = 4096):
+                 min_device_size: int = 4096,
+                 max_device_size: int | None = None):
+        import os
         self.codec = codec
         self.min_device_size = min_device_size
+        # blocks above the 64 KB tier would compile enormous new device
+        # graphs (minutes through the relay, untested shapes): host path
+        # unless explicitly enabled
+        self.max_device_size = max_device_size if max_device_size \
+            else int(os.environ.get("LZ4_TPU_MAX_DEVICE_BLOCK", "65536"))
 
     def _host(self):
         from lz4_tpu.block.backend import HostBackend
@@ -197,7 +204,8 @@ class TpuBackend:
                 dict_prefixes=dict_prefixes)
         if not blocks:
             return []
-        if max(len(b) for b in blocks) < self.min_device_size:
+        mx = max(len(b) for b in blocks)
+        if mx < self.min_device_size or mx > self.max_device_size:
             return self._host().compress_batch(
                 blocks, level=level, acceleration=acceleration,
                 dict_prefixes=dict_prefixes)
@@ -241,8 +249,9 @@ class TpuBackend:
     def decompress_batch(self, blocks, max_outs, *, dict_prefixes=None):
         if not blocks:
             return []
-        if max(len(b) for b in blocks) < self.min_device_size and \
-           max(max_outs) < self.min_device_size:
+        mo = max(max_outs)
+        if (max(len(b) for b in blocks) < self.min_device_size
+                and mo < self.min_device_size) or mo > self.max_device_size:
             return self._host().decompress_batch(
                 blocks, max_outs, dict_prefixes=dict_prefixes)
         from lz4_tpu.block.decode_jax import DICT_CAP as DCAP
