@@ -183,6 +183,10 @@ class TpuBackend:
         # unless explicitly enabled
         self.max_device_size = max_device_size if max_device_size \
             else int(os.environ.get("LZ4_TPU_MAX_DEVICE_BLOCK", "65536"))
+        # dict/linked-mode graphs (N = 128K) compile pathologically slowly
+        # through the relay (>1 h observed); host path unless enabled
+        self.device_dict_mode = bool(int(os.environ.get(
+            "LZ4_TPU_DEVICE_DICT", "0")))
 
     def _host(self):
         from lz4_tpu.block.backend import HostBackend
@@ -205,12 +209,13 @@ class TpuBackend:
         if not blocks:
             return []
         mx = max(len(b) for b in blocks)
-        if mx < self.min_device_size or mx > self.max_device_size:
+        has_dict = dict_prefixes is not None and any(
+            d for d in dict_prefixes)
+        if mx < self.min_device_size or mx > self.max_device_size or \
+                (has_dict and not self.device_dict_mode):
             return self._host().compress_batch(
                 blocks, level=level, acceleration=acceleration,
                 dict_prefixes=dict_prefixes)
-        has_dict = dict_prefixes is not None and any(
-            d for d in dict_prefixes)
         cap_n = _pad_cap(max(len(b) for b in blocks))
         B = self._round_batch(len(blocks))
         src = np.zeros((B, cap_n), np.uint8)
@@ -258,6 +263,9 @@ class TpuBackend:
         from lz4_tpu.block.ref_codec import BlockDecodeError
         has_dict = dict_prefixes is not None and any(
             d for d in dict_prefixes)
+        if has_dict and not self.device_dict_mode:
+            return self._host().decompress_batch(
+                blocks, max_outs, dict_prefixes=dict_prefixes)
         # one shape per frame block tier: output cap = tier, input cap =
         # its compress_bound (matches the encoder's worst case)
         cap_out = _pad_cap(max(max_outs))
