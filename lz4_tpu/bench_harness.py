@@ -20,14 +20,17 @@ def _split(data: bytes, bs: int) -> list[bytes]:
 
 
 def bench_mem(data: bytes, level: int, prefs, *, backend=None,
-              nb_seconds: float = NB_SECONDS_DEFAULT) -> dict:
-    """BMK_benchMem analog: returns {level, ratio, comp_MBs, dec_MBs}."""
+              nb_seconds: float = NB_SECONDS_DEFAULT,
+              dictionary: bytes | None = None) -> dict:
+    """BMK_benchMem analog: returns {level, ratio, comp_MBs, dec_MBs}.
+    `dictionary` benches the dict-compression path (bench.c dictBuf)."""
     from lz4_tpu.block.backend import default_backend
     backend = backend or default_backend()
     bs = prefs.block_size_id and __import__(
         "lz4_tpu.constants", fromlist=["BLOCK_SIZES"]).BLOCK_SIZES[
         prefs.block_size_id]
     blocks = _split(data, bs)
+    dict_prefixes = [dictionary] * len(blocks) if dictionary else None
     crc_orig = xxh32(data)
 
     def timed_best(fn):
@@ -45,7 +48,8 @@ def bench_mem(data: bytes, level: int, prefs, *, backend=None,
         return best, result
 
     t_comp, comp = timed_best(lambda: backend.compress_batch(
-        blocks, level=level, acceleration=prefs.acceleration))
+        blocks, level=level, acceleration=prefs.acceleration,
+        dict_prefixes=dict_prefixes))
     csize = sum(len(c) for c in comp)
     # stored-block fallback parity with the frame layer: oversized
     # compressed blocks would be stored raw on the wire
@@ -53,7 +57,7 @@ def bench_mem(data: bytes, level: int, prefs, *, backend=None,
 
     max_outs = [len(b) for b in blocks]
     t_dec, dec = timed_best(lambda: backend.decompress_batch(
-        comp, max_outs))
+        comp, max_outs, dict_prefixes=dict_prefixes))
     rt = b"".join(dec)
     if xxh32(rt) != crc_orig:
         raise RuntimeError("benchmark round-trip corruption detected")
@@ -116,10 +120,15 @@ def bench_files(paths: list[str], levels: list[int], prefs, *,
             out.write("decode-only: %9d -> ratio %5.3f, %7.1f MB/s\n" % (
                 r["csize"], r["ratio"], r["dec_MBs"]))
         return results
+    dictionary = None
+    if getattr(prefs, "dictionary_filename", None):
+        from lz4_tpu.io.engine import load_dictionary
+        cd = load_dictionary(prefs)
+        dictionary = cd.content if cd else None
     results = []
     for level in levels:
         r = bench_mem(data, level, prefs, backend=backend,
-                      nb_seconds=nb_seconds)
+                      nb_seconds=nb_seconds, dictionary=dictionary)
         results.append(r)
         out.write(
             "%2d : %9d -> %9d (%5.3f), %7.1f MB/s, %7.1f MB/s\n" % (
