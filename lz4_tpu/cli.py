@@ -68,10 +68,24 @@ class CliError(SystemExit):
         super().__init__(code)
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: device compiles cost minutes
+    through the remote relay (docs/tpu_perf_notes.md)."""
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
+
 def _select_backend(name: str | None, level: int):
     if name == "host":
         from lz4_tpu.block.backend import HostBackend
         return HostBackend()
+    _enable_compile_cache()
     if name == "tpu":
         from lz4_tpu.parallel.engine import TpuBackend
         return TpuBackend()
