@@ -100,3 +100,17 @@ def test_fuzz_roundtrip():
     out = decode_blocks_host(comp, [max(1, len(d)) for d in data])
     for got, want in zip(out, data):
         assert got == want
+
+
+def test_decode_64k_text_blocks():
+    """64 KB text blocks produce dense, deeply-chained matches — a
+    regression gate for future chase redesigns (a round-1 experiment
+    silently mis-decoded exactly this shape)."""
+    from lz4_tpu.block.backend import HostBackend
+    from lz4_tpu.block.decode_jax import decode_blocks_host
+    from lz4_tpu.utils.datagen import gen_text
+    bs = 65536
+    blocks = [gen_text(bs, seed=i) for i in range(3)]
+    comp = HostBackend().compress_batch(blocks)
+    out = decode_blocks_host(comp, [bs] * 3)
+    assert out == blocks
