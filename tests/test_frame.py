@@ -217,3 +217,45 @@ def test_frame_size_parity():
     r = ref_cli(["-1", "-B4", "-c"], stdin=DATA)
     ours = compress_frame(DATA, prefs=prefs(block_size_id=4))
     assert len(ours) <= len(r.stdout) * 1.01, (len(ours), len(r.stdout))
+
+
+def test_byte_at_a_time_streaming():
+    """Feed the push decoder one byte at a time through a multi-block
+    frame — the harshest chunking of the dstage state machine."""
+    from lz4_tpu.frame.reader import FrameDecompressor
+    from lz4_tpu.frame.writer import compress_frame
+    from lz4_tpu.frame.format import FrameInfo, Preferences
+    from lz4_tpu.utils.datagen import gen_buffer
+
+    data = gen_buffer(200000, match_prob=0.7, seed=42)
+    prefs = Preferences(frame_info=FrameInfo(block_checksum=True))
+    blob = compress_frame(data, prefs=prefs)
+    dec = FrameDecompressor()
+    out = bytearray()
+    for i in range(len(blob)):
+        produced, consumed = dec.feed(blob[i: i + 1])
+        out += produced
+        assert consumed in (0, 1)
+    assert dec.frame_done and bytes(out) == data
+
+
+def test_lz4file_chunked_reads():
+    from io import BytesIO
+    from lz4_tpu.frame.file import Lz4FrameReader, Lz4FrameWriter
+    from lz4_tpu.utils.datagen import gen_buffer
+
+    data = gen_buffer(150000, match_prob=0.6, seed=9)
+    buf = BytesIO()
+    w = Lz4FrameWriter(buf)
+    for i in range(0, len(data), 7001):
+        w.write(data[i: i + 7001])
+    w.close()
+    buf.seek(0)
+    r = Lz4FrameReader(buf)
+    out = bytearray()
+    while True:
+        chunk = r.read(1234)
+        if not chunk:
+            break
+        out += chunk
+    assert bytes(out) == data
