@@ -11,6 +11,7 @@ so the same frame code runs over:
 """
 from __future__ import annotations
 
+import os
 from typing import Protocol, Sequence
 
 
@@ -22,6 +23,7 @@ class BlockBackend(Protocol):
         level: int = 0,
         acceleration: int = 1,
         dict_prefixes: Sequence[bytes | None] | None = None,
+        favor_dec_speed: bool = False,
     ) -> list[bytes]:
         ...
 
@@ -35,48 +37,88 @@ class BlockBackend(Protocol):
         ...
 
 
+def default_nb_workers() -> int:
+    """Worker-count default mirroring the reference CLI's heuristic
+    (cores - 1 - cores/8, programs/lz4io.c:177-187), overridable via
+    LZ4_NBWORKERS."""
+    env = os.environ.get("LZ4_NBWORKERS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    cores = os.cpu_count() or 1
+    return max(1, cores - 1 - cores // 8)
+
+
 class HostBackend:
     """Host block codec: native C fast path (lz4_tpu.native.blockcodec)
-    with the numpy oracle as fallback; HC levels use the python HC tier."""
+    with the numpy oracle as fallback; HC levels use the C HC tier.
 
-    def __init__(self):
+    nb_workers > 1 fans independent blocks out over a thread pool (the
+    analog of the reference's TPool engine, programs/threadpool.c:222-428;
+    ctypes releases the GIL during C codec calls, so the C path scales
+    across cores). Dictionary chains (linked blocks) stay serial only in
+    the sense that each block's call is independent — the prefixes are
+    precomputed by the frame layer, so even linked batches parallelize.
+    """
+
+    def __init__(self, nb_workers: int = 0):
         try:
             from lz4_tpu import native
             self._native = native.blockcodec
         except Exception:
             self._native = None
+        self.nb_workers = nb_workers
+        self._pool = None
+
+    def _executor(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=self.nb_workers)
+        return self._pool
+
+    def _map(self, fn, items):
+        """Run fn over items, fanning out when a pool is configured and
+        the batch is worth it."""
+        if self.nb_workers > 1 and len(items) > 1 and self._native is not None:
+            return list(self._executor().map(fn, items))
+        return [fn(it) for it in items]
 
     def compress_batch(self, blocks, *, level=0, acceleration=1,
-                       dict_prefixes=None):
+                       dict_prefixes=None, favor_dec_speed=False):
         from lz4_tpu.block.ref_codec import compress_block
         from lz4_tpu.hc.codec import compress_block_hc
-        out = []
-        for i, b in enumerate(blocks):
+
+        def one(ib):
+            i, b = ib
             d = dict_prefixes[i] if dict_prefixes else None
             if level >= 2 and self._native is not None:
-                out.append(self._native.compress_hc(b, level=level,
-                                                    dict_prefix=d))
-            elif level >= 2:
-                out.append(compress_block_hc(b, level=level, dict_prefix=d))
-            elif self._native is not None:
-                out.append(self._native.compress(
-                    b, dict_prefix=d, acceleration=max(1, acceleration)))
-            else:
-                out.append(compress_block(b, acceleration=max(1, acceleration),
-                                          dict_prefix=d))
-        return out
+                return self._native.compress_hc(
+                    b, level=level, dict_prefix=d,
+                    favor_dec_speed=favor_dec_speed)
+            if level >= 2:
+                return compress_block_hc(b, level=level, dict_prefix=d,
+                                         favor_dec_speed=favor_dec_speed)
+            if self._native is not None:
+                return self._native.compress(
+                    b, dict_prefix=d, acceleration=max(1, acceleration))
+            return compress_block(b, acceleration=max(1, acceleration),
+                                  dict_prefix=d)
+
+        return self._map(one, list(enumerate(blocks)))
 
     def decompress_batch(self, blocks, max_outs, *, dict_prefixes=None):
         from lz4_tpu.block.ref_codec import decompress_block
-        out = []
-        for i, b in enumerate(blocks):
+
+        def one(ib):
+            i, b = ib
             d = dict_prefixes[i] if dict_prefixes else None
             if self._native is not None:
-                out.append(self._native.decompress(b, max_outs[i],
-                                                   dict_prefix=d))
-            else:
-                out.append(decompress_block(b, max_outs[i], dict_prefix=d))
-        return out
+                return self._native.decompress(b, max_outs[i], dict_prefix=d)
+            return decompress_block(b, max_outs[i], dict_prefix=d)
+
+        return self._map(one, list(enumerate(blocks)))
 
 
 _DEFAULT: BlockBackend | None = None

@@ -81,21 +81,21 @@ def _enable_compile_cache() -> None:
         pass
 
 
-def _select_backend(name: str | None, level: int):
+def _select_backend(name: str | None, level: int, nb_workers: int = 0):
     if name == "host":
         from lz4_tpu.block.backend import HostBackend
-        return HostBackend()
+        return HostBackend(nb_workers=nb_workers)
     _enable_compile_cache()
     if name == "tpu":
         from lz4_tpu.parallel.engine import TpuBackend
-        return TpuBackend()
+        return TpuBackend(nb_workers=nb_workers)
     # auto: device path for the fast tier (HC currently host-side)
     try:
         from lz4_tpu.parallel.engine import TpuBackend
-        return TpuBackend()
+        return TpuBackend(nb_workers=nb_workers)
     except Exception:
         from lz4_tpu.block.backend import HostBackend
-        return HostBackend()
+        return HostBackend(nb_workers=nb_workers)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -302,7 +302,7 @@ def main(argv: list[str] | None = None) -> int:
 
 def _dispatch(mode, prefs, files, multiple, recursive, force_stdout,
               backend_name, bench_levels) -> int:
-    backend = _select_backend(backend_name, prefs.level)
+    backend = _select_backend(backend_name, prefs.level, prefs.nb_workers)
 
     if mode == "list":
         if not files:

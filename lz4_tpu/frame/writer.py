@@ -99,7 +99,8 @@ def compress_frame(
 
     comp = backend.compress_batch(blocks, level=level,
                                   acceleration=acceleration,
-                                  dict_prefixes=dict_prefixes)
+                                  dict_prefixes=dict_prefixes,
+                                  favor_dec_speed=prefs.favor_dec_speed)
 
     out = bytearray(write_frame_header(info))
     for raw, c in zip(blocks, comp):
@@ -177,7 +178,8 @@ class FrameCompressor:
         if blocks:
             comp = self.backend.compress_batch(
                 blocks, level=self.level, acceleration=self.acceleration,
-                dict_prefixes=prefixes)
+                dict_prefixes=prefixes,
+                favor_dec_speed=self.prefs.favor_dec_speed)
             for raw, c in zip(blocks, comp):
                 out += _write_block(raw, c, self._info)
         if self.prefs.auto_flush:
@@ -227,7 +229,8 @@ class FrameCompressor:
         self._advance_history(raw)
         comp = self.backend.compress_batch(
             [raw], level=self.level, acceleration=self.acceleration,
-            dict_prefixes=[prefix])[0]
+            dict_prefixes=[prefix],
+            favor_dec_speed=self.prefs.favor_dec_speed)[0]
         return bytes(_write_block(raw, comp, self._info))
 
     def end(self) -> bytes:

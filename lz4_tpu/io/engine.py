@@ -154,8 +154,9 @@ def compress_file(src_path: str, dst_path: str | None,
             comp = FrameCompressor(fprefs, level=prefs.level,
                                    acceleration=prefs.acceleration,
                                    cdict=cdict, backend=backend)
-            fout.write(comp.begin())
-            total_out += 7
+            hdr = comp.begin()
+            fout.write(hdr)
+            total_out += len(hdr)
             # pipelined read: a reader thread keeps the device fed
             q: queue.Queue = queue.Queue(maxsize=2)
             t = threading.Thread(target=_reader, args=(fin, q), daemon=True)

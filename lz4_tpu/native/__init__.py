@@ -94,7 +94,7 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.lz4t_compress_hc.restype = ctypes.c_long
     lib.lz4t_compress_hc.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
-        ctypes.c_long, ctypes.c_int]
+        ctypes.c_long, ctypes.c_int, ctypes.c_int]
     lib.lz4t_compress_destsize.restype = ctypes.c_long
     lib.lz4t_compress_destsize.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
@@ -141,7 +141,8 @@ class _BlockCodec:
         return dst.raw[:n]
 
     def compress_hc(self, data: bytes, level: int = 9,
-                    dict_prefix: bytes | None = None) -> bytes:
+                    dict_prefix: bytes | None = None,
+                    favor_dec_speed: bool = False) -> bytes:
         from lz4_tpu.constants import compress_bound
         data = bytes(data)
         d = bytes(dict_prefix or b"")[-65535:]
@@ -150,7 +151,7 @@ class _BlockCodec:
         cap = compress_bound(len(data))
         dst = ctypes.create_string_buffer(cap)
         n = self._lib.lz4t_compress_hc(src, len(data), dst, cap, len(d),
-                                       level)
+                                       level, 1 if favor_dec_speed else 0)
         if n <= 0:
             raise RuntimeError("native HC compression failed")
         return dst.raw[:n]

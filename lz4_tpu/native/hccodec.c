@@ -5,14 +5,25 @@
  * implementation written against the normative block format.
  *
  * Level 2 uses a fast chain walk with one-step lazy arbitration; levels
- * 3..12 run an exact-price dynamic program (lz4t_compress_opt below)
- * whose chain-search depth grows with the level — at equal depth the DP
+ * 3..12 run an exact-price dynamic program (a chunked optimal parser:
+ * the DP window slides in 256 KB chunks with the literal run and hash
+ * chains carried across chunk seams, so arbitrarily large blocks parse
+ * at full quality — the analog of the reference's LZ4_OPT_NUM windowed
+ * optimal parse, lz4hc.c:77, 1770-2130). At equal search depth the DP
  * consistently beats the lazy chain walk on compressed size, so it
- * serves as both the "hash chain" and "optimal" tiers of the reference
- * ladder.
+ * serves as both the "hash chain" and "optimal" tiers of the ladder.
+ *
+ * All state is allocated per call: the encoder is reentrant and
+ * thread-safe (ctypes releases the GIL; the host -T# fan-out relies on
+ * this).
+ *
+ * flags bit 0 = favor_dec_speed: skip candidates with offset < 8 and
+ * trim 19..36-byte matches to 18 (reference semantics,
+ * lz4hc.c:926-928, 1816-1818).
  */
 #include <stddef.h>
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 
 #define MINMATCH 4
@@ -22,6 +33,7 @@
 #define HC_HASH_LOG 15
 #define HC_HASH_SIZE (1u << HC_HASH_LOG)
 #define NOPOS 0xFFFFFFFFu
+#define FLAG_FAVOR_DEC_SPEED 1
 
 static inline uint32_t read32(const uint8_t *p) {
     uint32_t v; memcpy(&v, p, 4); return v;
@@ -72,7 +84,7 @@ static void hc_insert(hc_tables *t, const uint8_t *base, long p) {
  * returns length, sets *mpos */
 static size_t hc_search(hc_tables *t, const uint8_t *base, long p,
                         long lowest, const uint8_t *limit, int depth,
-                        long *mpos) {
+                        int favor, long *mpos) {
     uint32_t h = hash4hc(read32(base + p));
     uint32_t c = t->head[h];
     size_t best = 0;
@@ -80,16 +92,17 @@ static size_t hc_search(hc_tables *t, const uint8_t *base, long p,
     if (c == (uint32_t)p)             /* p itself was just inserted */
         c = t->chain[p & ((1 << 17) - 1)];
     while (c != NOPOS && (long)c >= lowest && tries-- > 0) {
-        if ((long)(p - (long)c) <= WINDOW) {
-            if (read32(base + c) == read32(base + p)) {
-                size_t ml = MINMATCH + mlen_fwd(base + p + MINMATCH,
-                                                base + c + MINMATCH, limit);
-                if (ml > best) { best = ml; *mpos = (long)c; }
-            }
-        } else break;
+        long off = p - (long)c;
+        if (off > WINDOW) break;
+        if (!(favor && off < 8) && read32(base + c) == read32(base + p)) {
+            size_t ml = MINMATCH + mlen_fwd(base + p + MINMATCH,
+                                            base + c + MINMATCH, limit);
+            if (ml > best) { best = ml; *mpos = (long)c; }
+        }
         c = t->chain[c & ((1 << 17) - 1)];
         if (c != NOPOS && (long)c >= p) break;   /* stale ring entry */
     }
+    if (favor && best > 18 && best <= 36) best = 18;
     return best;
 }
 
@@ -118,44 +131,26 @@ static uint8_t *emit_seq(uint8_t *op, uint8_t *oend, const uint8_t *anchor,
     return op;
 }
 
-/* ---------------- optimal parser (levels 10-12) ----------------------
- * Backward dynamic program over exact byte prices, in the spirit of the
- * reference's lz4opt tier (price model equivalent to
- * LZ4HC_literalsPrice/sequencePrice, lz4hc.c:1778-1800) but original:
- * price[i] = min bytes to encode src[i..n) given the literal-run length
- * ambiguity is handled exactly by a forward repricing pass. */
-
-static inline long seq_price(long lit, long mlc) {
-    long p = 1 + 2 + lit;                    /* token + offset + literals */
-    if (lit >= 15) p += 1 + (lit - 15) / 255;
-    if (mlc >= 15) p += 1 + (mlc - 15) / 255;
-    return p;
+static uint8_t *emit_final_literals(uint8_t *op, uint8_t *oend,
+                                    const uint8_t *anchor, size_t lit) {
+    if (op + 1 + lit + lit / 255 + 1 > oend) return NULL;
+    if (lit >= 15) { *op++ = 15 << 4; op = emit_len(op, lit); }
+    else *op++ = (uint8_t)(lit << 4);
+    memcpy(op, anchor, lit); op += lit;
+    return op;
 }
 
-#define OPT_WINDOW 4096     /* DP chunk; parse is restarted per chunk */
+/* ---------------- chain-walk tier (level 2) -------------------------- */
 
-long lz4t_compress_opt(const uint8_t *src, long n, uint8_t *dst,
-                       long dst_cap, long dict_len, int level);
-
-/* Compress src[0..n) with `dict_len` bytes of contiguous history before
- * it. Returns compressed size or 0 on overflow. Not thread-safe wrt a
- * shared tables struct; the wrapper allocates per call. */
-long lz4t_compress_hc(const uint8_t *src, long n, uint8_t *dst,
-                      long dst_cap, long dict_len, int level) {
-    /* the exact-price DP beats the chain walk already at small search
-     * depths, so it serves levels 3+ (depth ladder inside); 2 stays on
-     * the cheap chain tier */
-    if (level >= 3)
-        return lz4t_compress_opt(src, n, dst, dst_cap, dict_len, level);
-    static hc_tables tables;          /* 640 KB: static per-process */
-    hc_tables *t = &tables;
+static long compress_chain(hc_tables *t, const uint8_t *src, long n,
+                           uint8_t *dst, long dst_cap, long dict_len,
+                           int depth, int favor) {
     const uint8_t *base = src - dict_len;
     const uint8_t *ip = src, *anchor = src;
     const uint8_t *iend = src + n;
     const uint8_t *mflimit = iend - MFLIMIT;
     const uint8_t *matchlimit = iend - LASTLITERALS;
     uint8_t *op = dst, *oend = dst + dst_cap;
-    int depth = depth_for_level(level);
     long total = dict_len + n;
     long p;
 
@@ -171,7 +166,7 @@ long lz4t_compress_hc(const uint8_t *src, long n, uint8_t *dst,
             size_t ml;
             hc_insert(t, base, cur);
             ml = hc_search(t, base, cur, cur - WINDOW < 0 ? 0 : cur - WINDOW,
-                           matchlimit, depth, &mpos);
+                           matchlimit, depth, favor, &mpos);
             if (ml < MINMATCH) { ip++; continue; }
             /* one-step lazy arbitration: prefer a strictly longer match
              * starting at ip+1 */
@@ -182,7 +177,7 @@ long lz4t_compress_hc(const uint8_t *src, long n, uint8_t *dst,
                 hc_insert(t, base, nxt);
                 ml2 = hc_search(t, base, nxt,
                                 nxt - WINDOW < 0 ? 0 : nxt - WINDOW,
-                                matchlimit, depth, &mpos2);
+                                matchlimit, depth, favor, &mpos2);
                 if (ml2 <= ml) break;
                 ip++; cur = nxt; ml = ml2; mpos = mpos2;
             }
@@ -203,167 +198,204 @@ long lz4t_compress_hc(const uint8_t *src, long n, uint8_t *dst,
         }
     }
     {
-        size_t lit = (size_t)(iend - anchor);
-        if (op + 1 + lit + lit / 255 + 1 > oend) return 0;
-        if (lit >= 15) { *op++ = 15 << 4; op = emit_len(op, lit); }
-        else *op++ = (uint8_t)(lit << 4);
-        memcpy(op, anchor, lit); op += lit;
+        op = emit_final_literals(op, oend, anchor, (size_t)(iend - anchor));
+        if (!op) return 0;
     }
     return (long)(op - dst);
 }
 
-#include <stdlib.h>
+/* ---------------- optimal parser (levels 3-12) -----------------------
+ * Backward dynamic program over exact byte prices, in the spirit of the
+ * reference's lz4opt tier (price model equivalent to
+ * LZ4HC_literalsPrice/sequencePrice, lz4hc.c:1778-1800) but original:
+ * the DP runs over a sliding 256 KB chunk; the anchor (pending literal
+ * run) and the hash/chain tables carry across chunk seams, so blocks of
+ * any size parse at full quality with bounded memory. Matches are cut
+ * at the chunk seam (a ~0.0x% ratio cost at 256 KB granularity). */
 
 #define OPT_INF 0x3FFFFFFF
+#define OPT_CHUNK (1L << 18)     /* DP window: 256 KB */
 
-long lz4t_compress_opt(const uint8_t *src, long n, uint8_t *dst,
-                       long dst_cap, long dict_len, int level) {
-    static hc_tables otables;
-    hc_tables *t = &otables;
+static long compress_opt(hc_tables *t, const uint8_t *src, long n,
+                         uint8_t *dst, long dst_cap, long dict_len,
+                         int level, int favor) {
     const uint8_t *base = src - dict_len;
-    const uint8_t *matchlimit = src + n - LASTLITERALS;
     static const int kDepth[13] = {8, 8, 8, 8, 8, 12, 16, 20, 24, 48,
                                    64, 128, 512};
     int depth = kDepth[level < 0 ? 0 : (level > 12 ? 12 : level)];
     long suff = level <= 9 ? 48 : (level == 10 ? 64 :
                 (level == 11 ? 128 : 4096));
     int32_t *price, *from, *mlen, *moff, *litrun;
-    long i;
+    uint8_t *op = dst, *oend = dst + dst_cap;
+    const uint8_t *anchor = src;
+    long s, i;
 
     if (n == 0) { if (dst_cap < 1) return 0; *dst = 0; return 1; }
-    if (n > (1L << 19))                  /* bound DP memory: fall back */
-        return lz4t_compress_hc(src, n, dst, dst_cap, dict_len, 9);
 
-    price = malloc(5 * sizeof(int32_t) * (size_t)(n + 1));
-    if (!price)
-        return lz4t_compress_hc(src, n, dst, dst_cap, dict_len, 9);
-    from = price + (n + 1);
-    mlen = from + (n + 1);
-    moff = mlen + (n + 1);
-    litrun = moff + (n + 1);
-    for (i = 0; i <= n; i++) { price[i] = OPT_INF; mlen[i] = 0; }
-    price[0] = 0; litrun[0] = 0;
+    price = malloc(5 * sizeof(int32_t) * (size_t)(OPT_CHUNK + 1));
+    if (!price)          /* degrade to the chain tier, never re-enter */
+        return compress_chain(t, src, n, dst, dst_cap, dict_len,
+                              depth, favor);
+    from = price + (OPT_CHUNK + 1);
+    mlen = from + (OPT_CHUNK + 1);
+    moff = mlen + (OPT_CHUNK + 1);
+    litrun = moff + (OPT_CHUNK + 1);
 
     memset(t->head, 0xFF, sizeof(t->head));
     for (i = 0; i + MINMATCH <= dict_len; i++)
         hc_insert(t, base, i);
 
-    for (i = 0; i < n; i++) {
-        long pos = dict_len + i;
-        if (price[i] >= OPT_INF) {
-            if (i + MINMATCH <= n) hc_insert(t, base, pos);
-            continue;
+    for (s = 0; s < n; s += OPT_CHUNK) {
+        long e = s + OPT_CHUNK;
+        int final = 0;
+        long L, match_start_max;
+        const uint8_t *limit;
+        if (e >= n) { e = n; final = 1; }
+        L = e - s;
+        /* matches may not cross the chunk seam (mid-block chunks) nor
+         * violate the end-of-block rules (final chunk) */
+        limit = final ? src + n - LASTLITERALS : src + e;
+        match_start_max = final ? n - MFLIMIT : e - MINMATCH;
+
+        for (i = 0; i <= L; i++) { price[i] = OPT_INF; mlen[i] = 0; }
+        price[0] = 0;
+        litrun[0] = (int32_t)(src + s - anchor);  /* carry literal run */
+
+        for (i = 0; i < L; i++) {
+            long gi = s + i;               /* global src index */
+            long pos = dict_len + gi;      /* base-relative */
+            if (price[i] < OPT_INF) {
+                /* literal step: marginal byte + any new length-extension
+                 * byte of the growing run */
+                long r = litrun[i] + 1;
+                long extra = 1 + ((r == 15 ||
+                                   (r > 15 && (r - 15) % 255 == 0)) ? 1 : 0);
+                if (price[i] + extra < price[i + 1]) {
+                    price[i + 1] = price[i] + (int32_t)extra;
+                    from[i + 1] = (int32_t)i;
+                    mlen[i + 1] = 0;
+                    litrun[i + 1] = (int32_t)r;
+                }
+            }
+            if (gi + MINMATCH <= n) hc_insert(t, base, pos);
+            if (price[i] >= OPT_INF) continue;
+            if (gi <= match_start_max) {
+                long mpos = -1;
+                size_t best;
+                /* bounded-length search w/ sufficient-length early exit */
+                {
+                    uint32_t h = hash4hc(read32(base + pos));
+                    uint32_t c = t->head[h];
+                    int tries = depth;
+                    best = 0;
+                    if (c == (uint32_t)pos)
+                        c = t->chain[pos & ((1 << 17) - 1)];
+                    while (c != NOPOS && tries-- > 0) {
+                        long off = pos - (long)c;
+                        if (off > WINDOW) break;
+                        if (!(favor && off < 8) &&
+                            read32(base + c) == read32(base + pos)) {
+                            size_t ml = MINMATCH + mlen_fwd(
+                                base + pos + MINMATCH, base + c + MINMATCH,
+                                limit);
+                            if (ml > best) { best = ml; mpos = (long)c;
+                                if ((long)ml >= suff) break; }
+                        }
+                        c = t->chain[c & ((1 << 17) - 1)];
+                        if (c != NOPOS && (long)c >= pos) break;
+                    }
+                }
+                if (favor && best > 18 && best <= 36) best = 18;
+                if ((long)best > L - i) best = (size_t)(L - i);
+                if (best >= MINMATCH && mpos >= 0) {
+                    long off = pos - mpos;
+                    /* price-class maxima: {18, 273, 528, best} (offset
+                     * cost is constant, so within a class the longest
+                     * wins) */
+                    long cands[4];
+                    int nc = 0, k;
+                    if (best > 18) cands[nc++] = 18;
+                    if (best > 273) cands[nc++] = 273;
+                    if (best > 528) cands[nc++] = 528;
+                    cands[nc++] = (long)best;
+                    for (k = 0; k < nc; k++) {
+                        long Lm = cands[k];
+                        long mlc = Lm - MINMATCH;
+                        long cost = price[i] + 3
+                            + (mlc >= 15 ? 1 + (mlc - 15) / 255 : 0);
+                        long j = i + Lm;
+                        if (j <= L && cost < price[j]) {
+                            price[j] = (int32_t)cost;
+                            from[j] = (int32_t)i;
+                            mlen[j] = (int32_t)Lm;
+                            moff[j] = (int32_t)off;
+                            litrun[j] = 0;
+                        }
+                    }
+                    /* also the minimal length (cheap reach for tight
+                     * tails) */
+                    if (best > MINMATCH) {
+                        long j = i + MINMATCH;
+                        long cost = price[i] + 3;
+                        if (cost < price[j]) {
+                            price[j] = (int32_t)cost;
+                            from[j] = (int32_t)i;
+                            mlen[j] = MINMATCH;
+                            moff[j] = (int32_t)off;
+                            litrun[j] = 0;
+                        }
+                    }
+                }
+            }
         }
-        /* literal step: marginal byte + any new length-extension byte */
+
+        /* ---- reconstruct this chunk's sequences (trailing literals
+         * stay pending: the anchor carries into the next chunk) ---- */
         {
-            long r = litrun[i] + 1;
-            long extra = 1 + ((r == 15 || (r > 15 && (r - 15) % 255 == 0))
-                              ? 1 : 0);
-            if (price[i] + extra < price[i + 1]) {
-                price[i + 1] = price[i] + (int32_t)extra;
-                from[i + 1] = (int32_t)i;
-                mlen[i + 1] = 0;
-                litrun[i + 1] = (int32_t)r;
+            long jn = L, count = 0, kk;
+            long *ends = malloc(sizeof(long) *
+                                (size_t)(L / MINMATCH + 2));
+            if (!ends) { free(price); return 0; }
+            while (jn > 0) {
+                if (mlen[jn] > 0) ends[count++] = jn;
+                jn = from[jn];
             }
-        }
-        if (i + MINMATCH <= n) hc_insert(t, base, pos);
-        if (i <= n - MFLIMIT) {
-            long mpos = -1;
-            size_t best;
-            /* bounded-length search with sufficient-length early exit */
-            {
-                uint32_t h = hash4hc(read32(base + pos));
-                uint32_t c = t->head[h];
-                int tries = depth;
-                best = 0;
-                if (c == (uint32_t)pos)
-                    c = t->chain[pos & ((1 << 17) - 1)];
-                while (c != NOPOS && tries-- > 0) {
-                    if ((long)(pos - (long)c) > WINDOW) break;
-                    if (read32(base + c) == read32(base + pos)) {
-                        size_t ml = MINMATCH + mlen_fwd(
-                            base + pos + MINMATCH, base + c + MINMATCH,
-                            matchlimit);
-                        if (ml > best) { best = ml; mpos = (long)c;
-                            if ((long)ml >= suff) break; }
-                    }
-                    c = t->chain[c & ((1 << 17) - 1)];
-                    if (c != NOPOS && (long)c >= pos) break;
-                }
+            for (kk = count - 1; kk >= 0; kk--) {
+                long j = ends[kk];
+                long i0 = from[j];
+                const uint8_t *ip = src + s + i0;
+                op = emit_seq(op, oend, anchor, (size_t)(ip - anchor),
+                              (size_t)moff[j], (size_t)mlen[j]);
+                if (!op) { free(ends); free(price); return 0; }
+                anchor = src + s + j;
             }
-            if (best >= MINMATCH && mpos >= 0) {
-                long off = pos - mpos;
-                /* price-class maxima: {18, 273, 528, best} (offset cost
-                 * is constant, so within a class the longest wins) */
-                long cands[4];
-                int nc = 0, k;
-                if (best > 18) cands[nc++] = 18;
-                if (best > 273) cands[nc++] = 273;
-                if (best > 528) cands[nc++] = 528;
-                cands[nc++] = (long)best;
-                for (k = 0; k < nc; k++) {
-                    long L = cands[k];
-                    long mlc = L - MINMATCH;
-                    long cost = price[i] + 3
-                        + (mlc >= 15 ? 1 + (mlc - 15) / 255 : 0);
-                    long j = i + L;
-                    if (j <= n && cost < price[j]) {
-                        price[j] = (int32_t)cost;
-                        from[j] = (int32_t)i;
-                        mlen[j] = (int32_t)L;
-                        moff[j] = (int32_t)off;
-                        litrun[j] = 0;
-                    }
-                }
-                /* also the minimal length (cheap reach for tight tails) */
-                if (best > MINMATCH) {
-                    long j = i + MINMATCH;
-                    long cost = price[i] + 3;
-                    if (cost < price[j]) {
-                        price[j] = (int32_t)cost;
-                        from[j] = (int32_t)i;
-                        mlen[j] = MINMATCH;
-                        moff[j] = (int32_t)(pos - mpos);
-                        litrun[j] = 0;
-                    }
-                }
-            }
+            free(ends);
         }
     }
 
-    /* ---- reconstruct + emit ---- */
-    {
-        uint8_t *op = dst, *oend = dst + dst_cap;
-        long jn = n, count = 0, kk;
-        /* walk back to order the sequence ends in `from`-linked list */
-        long *ends = malloc(sizeof(long) * (size_t)(n / MINMATCH + 2));
-        const uint8_t *anchor = src;
-        if (!ends) { free(price); return 0; }
-        while (jn > 0) {
-            if (mlen[jn] > 0) ends[count++] = jn;
-            jn = from[jn];
-        }
-        for (kk = count - 1; kk >= 0; kk--) {
-            long j = ends[kk];
-            long i0 = from[j];
-            long L = mlen[j];
-            const uint8_t *ip = src + i0;
-            op = emit_seq(op, oend, anchor, (size_t)(ip - anchor),
-                          (size_t)moff[j], (size_t)L);
-            if (!op) { free(ends); free(price); return 0; }
-            anchor = src + j;
-        }
-        {
-            size_t lit = (size_t)(src + n - anchor);
-            if (op + 1 + lit + lit / 255 + 1 > oend) {
-                free(ends); free(price); return 0;
-            }
-            if (lit >= 15) { *op++ = 15 << 4; op = emit_len(op, lit); }
-            else *op++ = (uint8_t)(lit << 4);
-            memcpy(op, anchor, lit); op += lit;
-        }
-        free(ends);
-        free(price);
-        return (long)(op - dst);
-    }
+    op = emit_final_literals(op, oend, anchor, (size_t)(src + n - anchor));
+    free(price);
+    if (!op) return 0;
+    return (long)(op - dst);
+}
+
+/* Compress src[0..n) with `dict_len` bytes of contiguous history before
+ * it. Returns compressed size or 0 on overflow/allocation failure.
+ * Reentrant: all state is per-call. */
+long lz4t_compress_hc(const uint8_t *src, long n, uint8_t *dst,
+                      long dst_cap, long dict_len, int level, int flags) {
+    hc_tables *t = malloc(sizeof(hc_tables));
+    int favor = flags & FLAG_FAVOR_DEC_SPEED;
+    long r;
+    if (!t) return 0;
+    /* the exact-price DP beats the chain walk already at small search
+     * depths, so it serves levels 3+ (depth ladder inside); 2 stays on
+     * the cheap chain tier */
+    if (level >= 3)
+        r = compress_opt(t, src, n, dst, dst_cap, dict_len, level, favor);
+    else
+        r = compress_chain(t, src, n, dst, dst_cap, dict_len,
+                           depth_for_level(level), favor);
+    free(t);
+    return r;
 }

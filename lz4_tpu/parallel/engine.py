@@ -112,9 +112,17 @@ def _linked_encode_step(src, lens, head_dict, head_dict_len, *,
 
     def step(src_l, lens_l, head_dict, head_dict_len):
         b = src_l.shape[0]
-        # tail of each local block = next block's history
-        tails = src_l[:, -DICT_CAP:] if cap_n >= DICT_CAP else jnp.pad(
-            src_l, ((0, 0), (DICT_CAP - cap_n, 0)))
+        # tail of each local block = next block's history: the window of
+        # DICT_CAP bytes ending at lens_l (NOT the tail of the padded
+        # buffer — short non-final blocks would otherwise hand zeros to
+        # their successor), right-aligned per the dict convention
+        zpad = jnp.zeros((DICT_CAP,), src_l.dtype)
+
+        def row_tail(row, ln):
+            ext = jnp.concatenate([zpad, row])
+            return jax.lax.dynamic_slice(ext, (ln,), (DICT_CAP,))
+
+        tails = jax.vmap(row_tail)(src_l, lens_l)
         tail_lens = jnp.minimum(lens_l, DICT_CAP)
         # shift right by one block within the shard
         prev_tails = jnp.roll(tails, 1, axis=0)
@@ -174,10 +182,12 @@ class TpuBackend:
 
     def __init__(self, codec: ShardedCodec | None = None,
                  min_device_size: int = 4096,
-                 max_device_size: int | None = None):
+                 max_device_size: int | None = None,
+                 nb_workers: int = 0):
         import os
         self.codec = codec
         self.min_device_size = min_device_size
+        self.nb_workers = nb_workers
         # blocks above the 64 KB tier would compile enormous new device
         # graphs (minutes through the relay, untested shapes): host path
         # unless explicitly enabled
@@ -190,7 +200,9 @@ class TpuBackend:
 
     def _host(self):
         from lz4_tpu.block.backend import HostBackend
-        return HostBackend()
+        if getattr(self, "_host_be", None) is None:
+            self._host_be = HostBackend(nb_workers=self.nb_workers)
+        return self._host_be
 
     def _unit(self) -> int:
         nd = self.codec.n_devices if self.codec else 1
@@ -201,11 +213,12 @@ class TpuBackend:
         return -(-b // unit) * unit
 
     def compress_batch(self, blocks, *, level=0, acceleration=1,
-                       dict_prefixes=None):
+                       dict_prefixes=None, favor_dec_speed=False):
         if level >= 2:
             return self._host().compress_batch(
                 blocks, level=level, acceleration=acceleration,
-                dict_prefixes=dict_prefixes)
+                dict_prefixes=dict_prefixes,
+                favor_dec_speed=favor_dec_speed)
         if not blocks:
             return []
         mx = max(len(b) for b in blocks)
@@ -215,7 +228,8 @@ class TpuBackend:
                 (has_dict and not self.device_dict_mode):
             return self._host().compress_batch(
                 blocks, level=level, acceleration=acceleration,
-                dict_prefixes=dict_prefixes)
+                dict_prefixes=dict_prefixes,
+                favor_dec_speed=favor_dec_speed)
         cap_n = _pad_cap(max(len(b) for b in blocks))
         B = self._round_batch(len(blocks))
         src = np.zeros((B, cap_n), np.uint8)
