@@ -65,7 +65,7 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, *, cap_out: int,
 
     T = cap_in // 3 + 2          # every sequence but the last is >=3 bytes
 
-    def parse(carry, _):
+    def parse_one(carry):
         p, err, seen_last = carry
         done = p >= M
         tok = rd(c_ext, p)
@@ -98,9 +98,25 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, *, cap_out: int,
         p_next = jnp.where(done | bad | is_last, jnp.int32(cap_in), next_p)
         return (p_next, err, seen_last), rec
 
-    (pf, err, seen_last), (lit_starts, litlens, offs, mlens) = jax.lax.scan(
+    # 2 sequences per scan step: halves the serial step count (the scan's
+    # per-step dispatch overhead, not the tiny gathers, dominates — see
+    # docs/tpu_perf_notes.md)
+    UNROLL = 2
+    T2 = T // UNROLL + 1
+
+    def parse(carry, _):
+        carry, rec_a = parse_one(carry)
+        carry, rec_b = parse_one(carry)
+        return carry, (rec_a, rec_b)
+
+    (pf, err, seen_last), (ra, rb) = jax.lax.scan(
         parse, (jnp.int32(0), jnp.bool_(False), jnp.bool_(False)), None,
-        length=T)
+        length=T2)
+    # interleave the unrolled record lanes back into parse order
+    lit_starts, litlens, offs, mlens = (
+        jnp.stack([a, b], axis=1).reshape(-1)
+        for a, b in zip(ra, rb))
+    T = T2 * UNROLL
     err = err | ~seen_last          # truncated / endless stream
 
     # ---- placement + checks (elementwise over tokens) -------------------
@@ -151,7 +167,22 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, *, cap_out: int,
     t = o - key_o
     is_lit = covered & (t < ll_o)
     lit_ptr = -(jnp.clip(ls_o + t, 0, cap_in - 1)) - 1
-    src_out = o - off_o               # output coordinate (may be < 0)
+    # analytic intra-token escape (segment-level match resolution): a
+    # match byte's source chain within its OWN token (offset < match
+    # length: RLE / periodic copies) is an arithmetic progression, so
+    # instead of single-stepping to o - off we jump straight to the
+    # first source position BEFORE the token's match region:
+    #   esc = o - ceil((o - m0 + 1)/off)*off  in  [m0 - off, m0)
+    # Every chase hop is then a full token hop, collapsing the
+    # pointer-doubling depth from log2(byte chain length) to
+    # log2(token generation depth) — RLE blocks resolve in one round
+    # (was 17). Cited scheme: segment-level LZ77 dependency resolution
+    # (arXiv:1606.00519); reference byte-serial analog: the overlap
+    # wildcopy of lz4.c:2406-2418.
+    m0 = key_o + ll_o                 # match region start of covering token
+    d_off = jnp.maximum(off_o, 1)
+    k_in = (o - m0) // d_off + 1      # steps to leave own token (>=1)
+    src_out = o - k_in * d_off        # output coordinate (may be < 0)
     dict_code = -(cap_in + DICT_CAP + src_out) - 1  # src_out in [-DICT_CAP,0)
     mat_ptr = jnp.where(src_out >= 0, src_out, dict_code)
     ptr = jnp.where(is_lit, lit_ptr, jnp.where(covered, mat_ptr, -1))
@@ -168,7 +199,8 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, *, cap_out: int,
         return new, jnp.any(new != ptr), rounds + 1
 
     ptr, _, _ = jax.lax.while_loop(
-        chase_cond, chase_body, (ptr, jnp.bool_(True), jnp.int32(0)))
+        chase_cond, chase_body,
+        (ptr, jnp.any(ptr >= 0), jnp.int32(0)))
 
     # ---- materialize -----------------------------------------------------
     code = -ptr - 1

@@ -101,6 +101,15 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool):
     """src: uint8[cap_n] zero-padded; n: int32 actual length.
     dict_buf: uint8[DICT_CAP] right-aligned history; dict_len: int32.
     Returns (out uint8[cap_out], csize int32)."""
+    if cap_n > 65536:
+        # emission packs M4 into 16 bits and L/el into 18/14 — exactly
+        # the 64 KB tier's ranges. Larger tiers must use the segmented
+        # big-block path (engine-level), never this graph: a long match
+        # would silently wrap the packed fields into well-formed-looking
+        # corrupt output (ADVICE r1, medium).
+        raise NotImplementedError(
+            "device encode graph is 64KB-tier only; larger tiers are "
+            "segmented at the engine level")
     d0 = DICT_CAP if has_dict else 0
     buf = jnp.concatenate([dict_buf, src]) if has_dict else src
     N = buf.shape[0]
@@ -176,16 +185,30 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool):
     packed_ext = jnp.concatenate([packed, jnp.array([0], jnp.int32)])
     off_ext = jnp.concatenate([off, jnp.array([0], jnp.int32)])
 
+    # 4 token hops per scan step: the scan's per-step dispatch overhead
+    # (not the 1-element gathers) dominates, so unrolling divides the
+    # serial step count (docs/tpu_perf_notes.md)
+    UNROLL = 4
     T = cap_n // MINMATCH + 2            # max #matches per block
+    T4 = T // UNROLL + 1
 
     cur0 = nm_ext[d0]
 
-    def hop(cur, _):
+    def hop1(cur):
         step = jnp.take(packed_ext, cur) & ((1 << 18) - 1)   # ml at cur
         nxt = jnp.take(nm_ext, jnp.minimum(cur + step, N))
         return nxt, cur
 
-    _, tokpos = jax.lax.scan(hop, cur0, None, length=T)
+    def hop(cur, _):
+        outs = []
+        for _u in range(UNROLL):
+            cur, prev = hop1(cur)
+            outs.append(prev)
+        return cur, tuple(outs)
+
+    _, tok_lanes = jax.lax.scan(hop, cur0, None, length=T4)
+    tokpos = jnp.stack(tok_lanes, axis=1).reshape(-1)   # parse order
+    T = T4 * UNROLL
     tmask = tokpos < N
 
     # ---- stage 4: per-token fields (2 batched gathers + elementwise) ----
