@@ -97,9 +97,14 @@ def _high_zero_bytes(x):
 # single-block encode (vmapped over a batch by encode_blocks)
 # ---------------------------------------------------------------------------
 
-def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool):
+def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
+                n_cand: int = 1, lazy: bool = False):
     """src: uint8[cap_n] zero-padded; n: int32 actual length.
     dict_buf: uint8[DICT_CAP] right-aligned history; dict_len: int32.
+    n_cand > 1 scores that many sorted-space candidates per position and
+    lazy enables one-step-chained lazy arbitration — together these form
+    the device HC tier (the batched-candidate analog of the reference's
+    nbSearches ladder + lazy parse, lz4hc.c:92-106, 1157-1310).
     Returns (out uint8[cap_out], csize int32)."""
     if cap_n > 65536:
         # emission packs M4 into 16 bits and L/el into 18/14 — exactly
@@ -136,29 +141,49 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool):
     sk, spos, sw2, sw3, sw4, swb, swb2 = jax.lax.sort(
         (w, idx, w2, w3, w4, wb, wb2), num_keys=1, is_stable=True)
 
-    same = jnp.concatenate([jnp.array([False]), sk[1:] == sk[:-1]])
-    prev_pos = _shift_right(spos, 1, 0)
-    x2 = sw2 ^ _shift_right(sw2, 1, 0)
-    x3 = sw3 ^ _shift_right(sw3, 1, 0)
-    x4 = sw4 ^ _shift_right(sw4, 1, 0)
-    ext3 = jnp.where(x3 == 0, 4 + jnp.where(x4 == 0, 4,
-                                            _low_zero_bytes(x4)),
-                     _low_zero_bytes(x3))
-    ext_s = jnp.where(x2 == 0, 4 + ext3, _low_zero_bytes(x2))
-    xb = swb ^ _shift_right(swb, 1, 0)
-    xb2 = swb2 ^ _shift_right(swb2, 1, 0)
-    bk_s = _high_zero_bytes(xb)
-    bk_s = jnp.where(xb == 0, 4 + _high_zero_bytes(xb2), bk_s)
-    cand_s = jnp.where(same, prev_pos, jnp.int32(-1))
-    pack_s = ext_s | (bk_s << 4)
+    def neighbour_fields(i):
+        """Match fields vs the candidate i rows back in sorted space:
+        (candidate position or -1, ext bytes 0..16 beyond the 4-gram,
+        back-extension bytes 0..8)."""
+        same_i = jnp.concatenate([jnp.zeros(i, bool), sk[i:] == sk[:-i]])
+        cand_i = _shift_right(spos, i, 0)
+        x2 = sw2 ^ _shift_right(sw2, i, 0)
+        x3 = sw3 ^ _shift_right(sw3, i, 0)
+        x4 = sw4 ^ _shift_right(sw4, i, 0)
+        ext3 = jnp.where(x3 == 0, 4 + jnp.where(x4 == 0, 4,
+                                                _low_zero_bytes(x4)),
+                         _low_zero_bytes(x3))
+        ext_i = jnp.where(x2 == 0, 4 + ext3, _low_zero_bytes(x2))
+        xb = swb ^ _shift_right(swb, i, 0)
+        xb2 = swb2 ^ _shift_right(swb2, i, 0)
+        bk_i = _high_zero_bytes(xb)
+        bk_i = jnp.where(xb == 0, 4 + _high_zero_bytes(xb2), bk_i)
+        # window validity is positional (lo is traced): candidates in
+        # sorted space know both positions, so check distance here
+        dist = spos - cand_i
+        ok = same_i & (cand_i >= lo) & (dist >= 1) \
+            & (dist <= LZ4_DISTANCE_MAX)
+        cand_i = jnp.where(ok, cand_i, jnp.int32(-1))
+        return cand_i, ext_i, bk_i
+
+    cand_s, ext_s, bk_s = neighbour_fields(1)
+    # HC tier: score deeper sorted-space candidates; longest forward
+    # extension wins, nearest wins ties (it chains into long runs)
+    for i in range(2, n_cand + 1):
+        cand_j, ext_j, bk_j = neighbour_fields(i)
+        better = (cand_j >= 0) & ((cand_s < 0) | (ext_j > ext_s))
+        cand_s = jnp.where(better, cand_j, cand_s)
+        ext_s = jnp.where(better, ext_j, ext_s)
+        bk_s = jnp.where(better, bk_j, bk_s)
+    pack_s = ext_s | (bk_s << 5)
 
     # ---- stage 2: restore position order (sort by position) -------------
     _, cand, pk = jax.lax.sort((spos, cand_s, pack_s), num_keys=1,
                                is_stable=True)
-    ext = pk & 15
-    bk4 = pk >> 4
+    ext = pk & 31
+    bk4 = pk >> 5
 
-    valid = (cand >= lo) & (cand >= 0) & (idx - cand <= LZ4_DISTANCE_MAX)
+    valid = cand >= 0            # window/distance checked in sorted space
 
     # chain-run lengths (lockstep candidates => exact long matches)
     cand_next = _shift_left(cand, 1, jnp.int32(-1))
@@ -170,6 +195,16 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool):
     ml = jnp.minimum(ml, end - LASTLITERALS - idx)
     is_match = (valid & (idx >= d0) & (idx <= end - MFLIMIT)
                 & (ml >= MINMATCH))
+    if lazy:
+        # chained one-step lazy arbitration (HC tier): a match is demoted
+        # when the very next position holds a strictly longer one — the
+        # parse then stops at locally-best matches only (the batched
+        # analog of the reference's Search2/Search3 overlap arbitration,
+        # lz4hc.c:1157-1310)
+        ml_next = _shift_left(ml, 1, 0)
+        match_next = _shift_left(is_match, 1, False)
+        demote = is_match & match_next & (ml_next > ml)
+        is_match = is_match & ~demote
 
     # ---- stage 3: token-hop parse scan ----------------------------------
     # next match position at/after p (literal runs are skipped in O(1))
@@ -334,9 +369,10 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool):
     return out, csize
 
 
-@functools.partial(jax.jit, static_argnames=("cap_n", "has_dict"))
+@functools.partial(jax.jit, static_argnames=("cap_n", "has_dict",
+                                             "n_cand", "lazy"))
 def encode_blocks(src, lens, dict_bufs, dict_lens, *, cap_n: int,
-                  has_dict: bool):
+                  has_dict: bool, n_cand: int = 1, lazy: bool = False):
     """Batched block encode.
 
     src:       uint8[B, cap_n]    zero-padded source blocks
@@ -344,9 +380,11 @@ def encode_blocks(src, lens, dict_bufs, dict_lens, *, cap_n: int,
     dict_bufs: uint8[B, 65536]    right-aligned history (ignored unless
                                   has_dict)
     dict_lens: int32[B]
+    n_cand/lazy: device HC tier (see _encode_one)
     returns (out uint8[B, compress_bound(cap_n)], csizes int32[B])
     """
-    fn = functools.partial(_encode_one, cap_n=cap_n, has_dict=has_dict)
+    fn = functools.partial(_encode_one, cap_n=cap_n, has_dict=has_dict,
+                           n_cand=n_cand, lazy=lazy)
     return jax.vmap(fn)(src, lens, dict_bufs, dict_lens)
 
 
@@ -362,7 +400,7 @@ def _pad_cap(n: int) -> int:
     return cap
 
 
-def encode_blocks_host(blocks, dict_prefixes=None):
+def encode_blocks_host(blocks, dict_prefixes=None, *, n_cand=1, lazy=False):
     """Compress a list of raw blocks via the vectorized TPU path.
     Returns list[bytes] (raw LZ4 block streams, possibly longer than the
     input — caller applies the stored-block fallback)."""
@@ -386,7 +424,8 @@ def encode_blocks_host(blocks, dict_prefixes=None):
                 dict_lens[i] = len(d)
     out, csizes = encode_blocks(
         jnp.asarray(src), jnp.asarray(lens), jnp.asarray(dict_bufs),
-        jnp.asarray(dict_lens), cap_n=int(cap_n), has_dict=bool(has_dict))
+        jnp.asarray(dict_lens), cap_n=int(cap_n), has_dict=bool(has_dict),
+        n_cand=n_cand, lazy=lazy)
     out = np.asarray(out)
     csizes = np.asarray(csizes)
     return [out[i, : csizes[i]].tobytes() for i in range(B)]

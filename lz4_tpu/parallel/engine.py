@@ -75,11 +75,13 @@ class ShardedCodec:
     def _put(self, arr):
         return jax.device_put(arr, self._shard)
 
-    def encode(self, src, lens, dict_bufs, dict_lens, *, cap_n, has_dict):
+    def encode(self, src, lens, dict_bufs, dict_lens, *, cap_n, has_dict,
+               n_cand=1, lazy=False):
         src, lens = self._put(src), self._put(lens)
         dict_bufs, dict_lens = self._put(dict_bufs), self._put(dict_lens)
         return encode_blocks(src, lens, dict_bufs, dict_lens,
-                             cap_n=cap_n, has_dict=has_dict)
+                             cap_n=cap_n, has_dict=has_dict,
+                             n_cand=n_cand, lazy=lazy)
 
     def decode(self, comp, lens, dict_bufs, dict_lens, *, cap_out, has_dict):
         comp, lens = self._put(comp), self._put(lens)
@@ -212,15 +214,23 @@ class TpuBackend:
         unit = self._unit()
         return -(-b // unit) * unit
 
+    #: device HC tier (level 2): sorted-space candidate count + lazy
+    #: arbitration — ratio strictly beats the host chain-walk level 2
+    #: (see tests/test_encode_jax.py device-HC assertions)
+    HC_N_CAND = 8
+
     def compress_batch(self, blocks, *, level=0, acceleration=1,
                        dict_prefixes=None, favor_dec_speed=False):
-        if level >= 2:
+        if not blocks:
+            return []
+        # level 2 runs on device (the "mid" tier analog, lz4hc.c:476-773);
+        # deeper levels stay on the host DP parser for now
+        device_hc = level == 2
+        if level >= 2 and not device_hc:
             return self._host().compress_batch(
                 blocks, level=level, acceleration=acceleration,
                 dict_prefixes=dict_prefixes,
                 favor_dec_speed=favor_dec_speed)
-        if not blocks:
-            return []
         mx = max(len(b) for b in blocks)
         has_dict = dict_prefixes is not None and any(
             d for d in dict_prefixes)
@@ -230,6 +240,8 @@ class TpuBackend:
                 blocks, level=level, acceleration=acceleration,
                 dict_prefixes=dict_prefixes,
                 favor_dec_speed=favor_dec_speed)
+        n_cand = self.HC_N_CAND if device_hc else 1
+        lazy = device_hc
         cap_n = _pad_cap(max(len(b) for b in blocks))
         B = self._round_batch(len(blocks))
         src = np.zeros((B, cap_n), np.uint8)
@@ -253,12 +265,14 @@ class TpuBackend:
             if self.codec is not None:
                 o, cs = self.codec.encode(
                     src[sl], lens[sl], dict_bufs[sl], dict_lens[sl],
-                    cap_n=cap_n, has_dict=has_dict)
+                    cap_n=cap_n, has_dict=has_dict, n_cand=n_cand,
+                    lazy=lazy)
             else:
                 o, cs = encode_blocks(
                     jnp.asarray(src[sl]), jnp.asarray(lens[sl]),
                     jnp.asarray(dict_bufs[sl]), jnp.asarray(dict_lens[sl]),
-                    cap_n=cap_n, has_dict=has_dict)
+                    cap_n=cap_n, has_dict=has_dict, n_cand=n_cand,
+                    lazy=lazy)
             outs.append(o)
             sizes.append(cs)
         out = np.concatenate([np.asarray(o) for o in outs], axis=0)
