@@ -31,6 +31,10 @@ def _log(msg: str) -> None:
 def main() -> None:
     import jax
 
+    if os.environ.get("LZ4_TPU_BENCH_CPU"):
+        # sanity runs while the real chip is busy (jax is pre-imported by
+        # sitecustomize, so env vars alone cannot select the platform)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_comp"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -46,15 +50,21 @@ def main() -> None:
     total_mb = int(os.environ.get("LZ4_TPU_BENCH_MB", "48"))
     seconds = float(os.environ.get("LZ4_TPU_BENCH_SECONDS", "3"))
     bs = int(os.environ.get("LZ4_TPU_BENCH_BLOCK", str(64 * 1024)))
+    corpus_kind = os.environ.get("LZ4_TPU_BENCH_CORPUS", "real")
 
-    # corpus: 4 MB of unique mixed-compressibility data, tiled to the
-    # target size (blocks are independent <= 64 KB units, so tiling does
-    # not change per-block compression work; the generator is host-side
-    # and serial — unique data at 48 MB would dominate setup time)
-    _log("datagen...")
-    uniq = mixed_corpus(min(total_mb, 4) * 1024 * 1024, seed=20260816)
-    reps = -(-total_mb * 1024 * 1024 // len(uniq))
-    data = (uniq * reps)[: total_mb * 1024 * 1024]
+    if corpus_kind == "real":
+        # real files from the image (text/source/binary/headers mix —
+        # Silesia is unreachable offline); deterministic + disk-cached
+        from lz4_tpu.utils.realcorpus import describe, real_corpus
+        _log("assembling real-file corpus...")
+        data = real_corpus(total_mb * 1024 * 1024)
+        _log(describe(data))
+    else:
+        # synthetic: 4 MB of unique mixed-compressibility data, tiled
+        _log("datagen...")
+        uniq = mixed_corpus(min(total_mb, 4) * 1024 * 1024, seed=20260816)
+        reps = -(-total_mb * 1024 * 1024 // len(uniq))
+        data = (uniq * reps)[: total_mb * 1024 * 1024]
     n = len(data) - len(data) % bs
     data = data[:n]
     B = n // bs
@@ -73,7 +83,7 @@ def main() -> None:
     def enc():
         outs, sizes = [], []
         for i in range(0, B, CHUNK):
-            out, csizes = encode_blocks(
+            out, csizes, _ = encode_blocks(
                 src[i: i + CHUNK], lens[i: i + CHUNK], dict_bufs,
                 dict_lens, cap_n=bs, has_dict=False)
             outs.append(out)
@@ -150,6 +160,24 @@ def main() -> None:
     rt = np.concatenate([np.asarray(o) for o in douts], axis=0).tobytes()
     assert xxh32(rt) == xxh32(data), "round-trip mismatch"
 
+    # size parity vs the reference encoder on the SAME corpus (host-side,
+    # cheap; skipped if the oracle can't build)
+    size_vs_ref = None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        import ref_oracle
+        if ref_oracle.ensure_built():
+            ref_total = 0
+            for i in range(0, n, bs):
+                ref_total += len(ref_oracle.ref_compress_block(
+                    data[i: i + bs], 1))
+            size_vs_ref = round(int(csizes_np.sum()) / ref_total, 4)
+            _log(f"compressed size vs reference (same blocks): "
+                 f"{size_vs_ref}x")
+    except Exception as e:            # oracle is best-effort
+        _log(f"reference size comparison skipped: {e}")
+
     result = {
         "metric": "compress_throughput",
         "value": round(comp_mbs, 1),
@@ -159,6 +187,8 @@ def main() -> None:
             "decompress_MBs": round(dec_mbs, 1),
             "decompress_vs_baseline": round(dec_mbs / BASELINE_DECOMP_MBS, 3),
             "ratio": round(ratio, 3),
+            "size_vs_ref": size_vs_ref,
+            "corpus": corpus_kind,
             "corpus_MB": total_mb,
             "block": bs,
             "device": str(jax.devices()[0].platform),

@@ -66,6 +66,7 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, *, cap_out: int,
     T = cap_in // 3 + 2          # every sequence but the last is >=3 bytes
 
     def parse_one(carry):
+        """One sequence parse step; returns (carry', record 4-tuple)."""
         p, err, seen_last = carry
         done = p >= M
         tok = rd(c_ext, p)
@@ -98,25 +99,35 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, *, cap_out: int,
         p_next = jnp.where(done | bad | is_last, jnp.int32(cap_in), next_p)
         return (p_next, err, seen_last), rec
 
-    # 2 sequences per scan step: halves the serial step count (the scan's
-    # per-step dispatch overhead, not the tiny gathers, dominates — see
-    # docs/tpu_perf_notes.md)
-    UNROLL = 2
-    T2 = T // UNROLL + 1
+    # sequence walk with EARLY EXIT: per-step cost is the dependent
+    # 1-element gathers, so a while_loop that stops at the real sequence
+    # count (parse_one parks the cursor at cap_in on the final/bad
+    # sequence) beats a fixed worst-case-length scan 3-4x on real data
+    # (docs/tpu_perf_notes.md). Records land in a (T, 4) buffer via one
+    # dynamic_update_slice per step.
+    def parse_cond(st):
+        p, _, _, k, _ = st
+        return (p < M) & (k < T)
 
-    def parse(carry, _):
-        carry, rec_a = parse_one(carry)
-        carry, rec_b = parse_one(carry)
-        return carry, (rec_a, rec_b)
+    def parse_body(st):
+        p, err, seen_last, k, buf = st
+        (p2, err2, seen2), rec = parse_one((p, err, seen_last))
+        buf = jax.lax.dynamic_update_slice(buf, jnp.stack(rec)[None, :],
+                                           (k, 0))
+        return p2, err2, seen2, k + 1, buf
 
-    (pf, err, seen_last), (ra, rb) = jax.lax.scan(
-        parse, (jnp.int32(0), jnp.bool_(False), jnp.bool_(False)), None,
-        length=T2)
-    # interleave the unrolled record lanes back into parse order
-    lit_starts, litlens, offs, mlens = (
-        jnp.stack([a, b], axis=1).reshape(-1)
-        for a, b in zip(ra, rb))
-    T = T2 * UNROLL
+    # carries derived from the (traced, device-varying) M so the loop
+    # types stay consistent under shard_map's varying-manual-axes checks
+    zero_v = M * 0
+    false_v = M < 0
+    (pf, err, seen_last, ktot, recbuf) = jax.lax.while_loop(
+        parse_cond, parse_body,
+        (zero_v, false_v, false_v, zero_v,
+         jnp.zeros((T, 4), jnp.int32) + zero_v))
+    lit_starts = recbuf[:, 0]
+    litlens = recbuf[:, 1]
+    offs = recbuf[:, 2]
+    mlens = recbuf[:, 3]
     err = err | ~seen_last          # truncated / endless stream
 
     # ---- placement + checks (elementwise over tokens) -------------------

@@ -158,6 +158,15 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
         xb2 = swb2 ^ _shift_right(swb2, i, 0)
         bk_i = _high_zero_bytes(xb)
         bk_i = jnp.where(xb == 0, 4 + _high_zero_bytes(xb2), bk_i)
+        # wb/wb2 are zero-FILL (not real bytes) for source positions
+        # < 4 / < 8, and fill-vs-fill XOR reads as "bytes match": a
+        # candidate near the buffer start would get a spurious
+        # back-extension (corrupt matches on real data — r2 regression
+        # test test_block_start_back_extension). Cap by how many real
+        # back-bytes the candidate's words actually carry; cand < pos,
+        # so the candidate is always the binding side.
+        bk_i = jnp.minimum(bk_i, jnp.where(cand_i >= 8, 8,
+                           jnp.where(cand_i >= 4, 4, 0)))
         # window validity is positional (lo is traced): candidates in
         # sorted space know both positions, so check distance here
         dist = spos - cand_i
@@ -220,30 +229,34 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
     packed_ext = jnp.concatenate([packed, jnp.array([0], jnp.int32)])
     off_ext = jnp.concatenate([off, jnp.array([0], jnp.int32)])
 
-    # 4 token hops per scan step: the scan's per-step dispatch overhead
-    # (not the 1-element gathers) dominates, so unrolling divides the
-    # serial step count (docs/tpu_perf_notes.md)
-    UNROLL = 4
+    # token-hop walk with EARLY EXIT: measured per-step cost is the
+    # dependent 1-element gathers (~0.7us each, flat in batch width), so
+    # the win is running only as many steps as there are real tokens —
+    # a while_loop exits at the actual parse length (typically 3-4x
+    # below the worst-case bound on real data; docs/tpu_perf_notes.md).
+    # Under vmap the loop runs to the max token count in the batch.
     T = cap_n // MINMATCH + 2            # max #matches per block
-    T4 = T // UNROLL + 1
 
     cur0 = nm_ext[d0]
 
-    def hop1(cur):
+    def hop_cond(st):
+        cur, k, _ = st
+        return (cur < N) & (k < T)
+
+    def hop_body(st):
+        cur, k, buf = st
         step = jnp.take(packed_ext, cur) & ((1 << 18) - 1)   # ml at cur
         nxt = jnp.take(nm_ext, jnp.minimum(cur + step, N))
-        return nxt, cur
+        buf = jax.lax.dynamic_update_slice(buf, cur[None], (k,))
+        return nxt, k + 1, buf
 
-    def hop(cur, _):
-        outs = []
-        for _u in range(UNROLL):
-            cur, prev = hop1(cur)
-            outs.append(prev)
-        return cur, tuple(outs)
-
-    _, tok_lanes = jax.lax.scan(hop, cur0, None, length=T4)
-    tokpos = jnp.stack(tok_lanes, axis=1).reshape(-1)   # parse order
-    T = T4 * UNROLL
+    # initial carries are derived from the (traced, device-varying) `n`
+    # so the loop types stay consistent under shard_map's varying-manual-
+    # axes propagation (a literal-constant init is rejected there)
+    zero_v = n * 0
+    _, _, tokpos = jax.lax.while_loop(
+        hop_cond, hop_body,
+        (cur0, zero_v, jnp.full((T,), jnp.int32(N)) + zero_v))
     tmask = tokpos < N
 
     # ---- stage 4: per-token fields (2 batched gathers + elementwise) ----
@@ -366,7 +379,9 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
                                       jnp.where(t == lit_end + 1,
                                                 off_hi_byte, matext_byte)))))
     out = jnp.where(o < csize, val, 0).astype(jnp.uint8)
-    return out, csize
+    # trailing literal-run length: the engine's segmented big-block path
+    # folds it across segment seams (parallel/engine.py)
+    return out, csize, FL
 
 
 @functools.partial(jax.jit, static_argnames=("cap_n", "has_dict",
@@ -381,7 +396,8 @@ def encode_blocks(src, lens, dict_bufs, dict_lens, *, cap_n: int,
                                   has_dict)
     dict_lens: int32[B]
     n_cand/lazy: device HC tier (see _encode_one)
-    returns (out uint8[B, compress_bound(cap_n)], csizes int32[B])
+    returns (out uint8[B, compress_bound(cap_n)], csizes int32[B],
+             trailing int32[B] — final literal-run length per block)
     """
     fn = functools.partial(_encode_one, cap_n=cap_n, has_dict=has_dict,
                            n_cand=n_cand, lazy=lazy)
@@ -422,7 +438,7 @@ def encode_blocks_host(blocks, dict_prefixes=None, *, n_cand=1, lazy=False):
                 d = bytes(d)[-DICT_CAP:]
                 dict_bufs[i, DICT_CAP - len(d):] = np.frombuffer(d, np.uint8)
                 dict_lens[i] = len(d)
-    out, csizes = encode_blocks(
+    out, csizes, _ = encode_blocks(
         jnp.asarray(src), jnp.asarray(lens), jnp.asarray(dict_bufs),
         jnp.asarray(dict_lens), cap_n=int(cap_n), has_dict=bool(has_dict),
         n_cand=n_cand, lazy=lazy)

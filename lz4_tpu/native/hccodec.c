@@ -220,11 +220,10 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
                          uint8_t *dst, long dst_cap, long dict_len,
                          int level, int favor) {
     const uint8_t *base = src - dict_len;
-    static const int kDepth[13] = {8, 8, 8, 8, 8, 12, 16, 20, 24, 48,
-                                   64, 128, 512};
+    static const int kDepth[13] = {8, 8, 8, 16, 32, 64, 96, 128, 192, 256,
+                                   384, 2048, 16384};
     int depth = kDepth[level < 0 ? 0 : (level > 12 ? 12 : level)];
-    long suff = level <= 9 ? 48 : (level == 10 ? 64 :
-                (level == 11 ? 128 : 4096));
+    long suff = level <= 10 ? 1 << 20 : 4096;
     int32_t *price, *from, *mlen, *moff, *litrun;
     uint8_t *op = dst, *oend = dst + dst_cap;
     const uint8_t *anchor = src;
@@ -309,14 +308,15 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
                 if ((long)best > L - i) best = (size_t)(L - i);
                 if (best >= MINMATCH && mpos >= 0) {
                     long off = pos - mpos;
-                    /* price-class maxima: {18, 273, 528, best} (offset
-                     * cost is constant, so within a class the longest
-                     * wins) */
-                    long cands[4];
+                    /* price-class maxima: every 18 + 255k below best,
+                     * plus best itself (offset cost is constant, so
+                     * within a class the longest wins); class count is
+                     * bounded to keep RLE-heavy data O(n) */
+                    long cands[68];
                     int nc = 0, k;
-                    if (best > 18) cands[nc++] = 18;
-                    if (best > 273) cands[nc++] = 273;
-                    if (best > 528) cands[nc++] = 528;
+                    { long c;
+                      for (c = 18; c < (long)best && nc < 64; c += 255)
+                          cands[nc++] = c; }
                     cands[nc++] = (long)best;
                     for (k = 0; k < nc; k++) {
                         long Lm = cands[k];
@@ -391,7 +391,7 @@ long lz4t_compress_hc(const uint8_t *src, long n, uint8_t *dst,
     /* the exact-price DP beats the chain walk already at small search
      * depths, so it serves levels 3+ (depth ladder inside); 2 stays on
      * the cheap chain tier */
-    if (level >= 3)
+    if (level >= 2)
         r = compress_opt(t, src, n, dst, dst_cap, dict_len, level, favor);
     else
         r = compress_chain(t, src, n, dst, dst_cap, dict_len,

@@ -142,8 +142,8 @@ def _linked_encode_step(src, lens, head_dict, head_dict_len, *,
         first_len = jnp.where(my_idx == 0, head_dict_len, nbr_len)
         dict_bufs = prev_tails.at[0].set(first_tail[0])
         dict_lens = prev_lens.at[0].set(first_len[0])
-        comp, csizes = encode_blocks(src_l, lens_l, dict_bufs, dict_lens,
-                                     cap_n=cap_n, has_dict=True)
+        comp, csizes, _ = encode_blocks(src_l, lens_l, dict_bufs, dict_lens,
+                                        cap_n=cap_n, has_dict=True)
         # ordered assembly: gather every shard's sizes, prefix-sum
         all_sizes = jax.lax.all_gather(csizes, axis, tiled=True)
         cum = jnp.cumsum(all_sizes)
@@ -165,6 +165,79 @@ def linked_encode_step(src, lens, head_dict, head_dict_len, *, cap_n,
     """Public wrapper (mesh passed positionally-hashable for jit)."""
     return _linked_encode_step(src, lens, head_dict, head_dict_len,
                                cap_n=cap_n, mesh=mesh, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# segmented big-block encode: seam folding
+# ---------------------------------------------------------------------------
+#
+# Blocks above the 64 KB tier are encoded on device as a batch of 64 KB
+# segments, each seeing the previous segment as linked history (the same
+# has_dict graph as frame linked mode), then merged into ONE valid LZ4
+# sequence stream: each segment's trailing literal-only sequence is
+# folded into the next segment's first sequence (literal bytes are
+# contiguous source bytes across the seam, so only the first token's
+# literal-length header is rewritten). Match offsets are plain distances
+# and stay valid across the merge; mid-block segments' end-of-segment
+# literal pads are legal mid-block, and the final segment's end rules
+# coincide with the block's (MFLIMIT/LASTLITERALS, lz4.c:242-249).
+# This keeps ONE compiled shape family (64 KB) serving every frame tier
+# (-B4..-B7), the TPU-native answer to the reference's arbitrary-size
+# LZ4_compress_generic.
+
+SEG = 65536
+
+
+def _ext_len(v: int) -> int:
+    return 0 if v < 15 else 1 + (v - 15) // 255
+
+
+def _lit_header(L: int, matnib: int) -> bytes:
+    tok = (min(15, L) << 4) | matnib
+    out = bytes([tok])
+    if L >= 15:
+        rem = L - 15
+        out += b"\xff" * (rem // 255) + bytes([rem % 255])
+    return out
+
+
+def merge_segment_streams(block_src: bytes, streams, trailings) -> bytes:
+    """Merge per-64KB-segment sequence streams into one LZ4 block
+    stream. trailings[k] = the final literal-run length the encoder
+    reported for segment k."""
+    out = bytearray()
+    carry = 0                  # source bytes pending as literals
+    pos = 0                    # current segment start within block_src
+    n = len(block_src)
+    for s, fl in zip(streams, trailings):
+        fl = int(fl)
+        tail_len = 1 + _ext_len(fl) + fl
+        body = s[: len(s) - tail_len]
+        seg_len = min(SEG, n - pos)
+        if not body:
+            carry += fl        # whole segment is literals: keep pending
+        else:
+            tok0 = body[0]
+            matnib = tok0 & 15
+            h = 1
+            L1 = tok0 >> 4
+            if L1 == 15:
+                while True:
+                    b = body[h]
+                    h += 1
+                    L1 += b
+                    if b != 255:
+                        break
+            newL = carry + L1
+            out += _lit_header(newL, matnib)
+            out += block_src[pos - carry: pos + L1]
+            out += body[h + L1:]
+            carry = fl
+        pos += seg_len
+    out += _lit_header(carry, 0)
+    if carry:
+        out += block_src[n - carry:]
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -219,30 +292,10 @@ class TpuBackend:
     #: (see tests/test_encode_jax.py device-HC assertions)
     HC_N_CAND = 8
 
-    def compress_batch(self, blocks, *, level=0, acceleration=1,
-                       dict_prefixes=None, favor_dec_speed=False):
-        if not blocks:
-            return []
-        # level 2 runs on device (the "mid" tier analog, lz4hc.c:476-773);
-        # deeper levels stay on the host DP parser for now
-        device_hc = level == 2
-        if level >= 2 and not device_hc:
-            return self._host().compress_batch(
-                blocks, level=level, acceleration=acceleration,
-                dict_prefixes=dict_prefixes,
-                favor_dec_speed=favor_dec_speed)
-        mx = max(len(b) for b in blocks)
-        has_dict = dict_prefixes is not None and any(
-            d for d in dict_prefixes)
-        if mx < self.min_device_size or mx > self.max_device_size or \
-                (has_dict and not self.device_dict_mode):
-            return self._host().compress_batch(
-                blocks, level=level, acceleration=acceleration,
-                dict_prefixes=dict_prefixes,
-                favor_dec_speed=favor_dec_speed)
-        n_cand = self.HC_N_CAND if device_hc else 1
-        lazy = device_hc
-        cap_n = _pad_cap(max(len(b) for b in blocks))
+    def _device_encode_padded(self, blocks, dict_prefixes, *, cap_n,
+                              has_dict, n_cand, lazy):
+        """Pad + batch + dispatch fixed-shape encode chunks; returns
+        (list[bytes] streams, list[int] trailing literal runs)."""
         B = self._round_batch(len(blocks))
         src = np.zeros((B, cap_n), np.uint8)
         lens = np.zeros(B, np.int32)
@@ -259,32 +312,98 @@ class TpuBackend:
                         d, np.uint8)
                     dict_lens[i] = len(d)
         unit = self._unit()
-        outs, sizes = [], []
+        outs, sizes, trails = [], [], []
         for i in range(0, B, unit):      # fixed-shape dispatches, pipelined
             sl = slice(i, i + unit)
             if self.codec is not None:
-                o, cs = self.codec.encode(
+                o, cs, tr = self.codec.encode(
                     src[sl], lens[sl], dict_bufs[sl], dict_lens[sl],
                     cap_n=cap_n, has_dict=has_dict, n_cand=n_cand,
                     lazy=lazy)
             else:
-                o, cs = encode_blocks(
+                o, cs, tr = encode_blocks(
                     jnp.asarray(src[sl]), jnp.asarray(lens[sl]),
                     jnp.asarray(dict_bufs[sl]), jnp.asarray(dict_lens[sl]),
                     cap_n=cap_n, has_dict=has_dict, n_cand=n_cand,
                     lazy=lazy)
             outs.append(o)
             sizes.append(cs)
+            trails.append(tr)
         out = np.concatenate([np.asarray(o) for o in outs], axis=0)
         csizes = np.concatenate([np.asarray(c) for c in sizes])
-        return [out[i, : csizes[i]].tobytes() for i in range(len(blocks))]
+        trail = np.concatenate([np.asarray(t) for t in trails])
+        return ([out[i, : csizes[i]].tobytes() for i in range(len(blocks))],
+                [int(t) for t in trail[: len(blocks)]])
+
+    def _compress_big_batch(self, blocks, dict_prefixes, *, n_cand, lazy):
+        """Blocks above the 64 KB tier: encode as linked 64 KB segments
+        on device, then fold the segment seams host-side
+        (merge_segment_streams). One compiled shape serves all tiers."""
+        seg_blocks, seg_dicts, counts = [], [], []
+        for bi, b in enumerate(blocks):
+            d0 = dict_prefixes[bi] if dict_prefixes else None
+            m = 0
+            for s in range(0, len(b), SEG):
+                seg_blocks.append(b[s: s + SEG])
+                if s == 0:
+                    hist = bytes(d0)[-DICT_CAP:] if d0 else b""
+                else:
+                    hist = b[max(0, s - DICT_CAP): s]
+                seg_dicts.append(hist or None)
+                m += 1
+            counts.append(m)
+        comp, trail = self._device_encode_padded(
+            seg_blocks, seg_dicts, cap_n=SEG, has_dict=True,
+            n_cand=n_cand, lazy=lazy)
+        results, idx = [], 0
+        for b, m in zip(blocks, counts):
+            results.append(merge_segment_streams(
+                b, comp[idx: idx + m], trail[idx: idx + m]))
+            idx += m
+        return results
+
+    def compress_batch(self, blocks, *, level=0, acceleration=1,
+                       dict_prefixes=None, favor_dec_speed=False):
+        if not blocks:
+            return []
+        # level 2 runs on device (the "mid" tier analog, lz4hc.c:476-773);
+        # deeper levels stay on the host DP parser for now
+        device_hc = level == 2
+        if level >= 2 and not device_hc:
+            return self._host().compress_batch(
+                blocks, level=level, acceleration=acceleration,
+                dict_prefixes=dict_prefixes,
+                favor_dec_speed=favor_dec_speed)
+        mx = max(len(b) for b in blocks)
+        has_dict = dict_prefixes is not None and any(
+            d for d in dict_prefixes)
+        needs_dict_graph = has_dict or mx > SEG
+        if mx < self.min_device_size or mx > self.max_device_size or \
+                (needs_dict_graph and not self.device_dict_mode):
+            return self._host().compress_batch(
+                blocks, level=level, acceleration=acceleration,
+                dict_prefixes=dict_prefixes,
+                favor_dec_speed=favor_dec_speed)
+        n_cand = self.HC_N_CAND if device_hc else 1
+        lazy = device_hc
+        if mx > SEG:
+            return self._compress_big_batch(
+                blocks, dict_prefixes, n_cand=n_cand, lazy=lazy)
+        out, _ = self._device_encode_padded(
+            blocks, dict_prefixes, cap_n=_pad_cap(mx), has_dict=has_dict,
+            n_cand=n_cand, lazy=lazy)
+        return out
 
     def decompress_batch(self, blocks, max_outs, *, dict_prefixes=None):
         if not blocks:
             return []
         mo = max(max_outs)
+        # device decode graphs exist for the 64 KB tier only (big-tier
+        # streams have arbitrary sequence layout; encode-side segmenting
+        # does not apply)
         if (max(len(b) for b in blocks) < self.min_device_size
-                and mo < self.min_device_size) or mo > self.max_device_size:
+                and mo < self.min_device_size) \
+                or mo > min(self.max_device_size, SEG):
             return self._host().decompress_batch(
                 blocks, max_outs, dict_prefixes=dict_prefixes)
         from lz4_tpu.block.decode_jax import DICT_CAP as DCAP

@@ -1,0 +1,21 @@
+"""Multi-process (DCN-path) linked compression: spawns the 2-process
+jax.distributed demo (tools/multihost_demo.py) and checks the verified
+cross-process history carry + ordered assembly."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.timeout(600)
+def test_two_process_linked_encode():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)          # demo sets its own device count
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "multihost_demo.py"),
+         "--spawn", "2"],
+        capture_output=True, text=True, timeout=570, env=env)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "MULTIHOST OK" in proc.stdout

@@ -162,8 +162,8 @@ def main() -> None:
                                              cap_n=NB, has_dict=False),
                      srcb, jit=False)
         record(out, bytes_moved=B * NB)
-        comp, csizes = encode_blocks(srcb, lens, dicts_e, dl_e,
-                                     cap_n=NB, has_dict=False)
+        comp, csizes, _ = encode_blocks(srcb, lens, dicts_e, dl_e,
+                                        cap_n=NB, has_dict=False)
         comp = jnp.asarray(np.asarray(comp))
         csz = jnp.asarray(np.asarray(csizes).astype(np.int32))
         out = timeit(f"decode_{cname}",
