@@ -46,8 +46,8 @@ DICT_CAP = 65536  # static history window capacity (64 KB)
 # single-block decode (vmapped over a batch by decode_blocks)
 # ---------------------------------------------------------------------------
 
-def _decode_one(comp, comp_len, dict_buf, dict_len, *, cap_out: int,
-                has_dict: bool):
+def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
+                cap_out: int, has_dict: bool):
     cap_in = comp.shape[0]
     idx = jnp.arange(cap_in, dtype=jnp.int32)
     c32 = comp.astype(jnp.int32)
@@ -84,8 +84,12 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, *, cap_out: int,
         extmat = 255 * (q2 - mo) + rd(c_ext, q2)
         mlen = MINMATCH + jnp.where(matnib == 15, matnib + extmat, matnib)
         next_p = jnp.where(matnib == 15, q2 + 1, mo)
+        # parsing restrictions mirror the reference decoder
+        # (lz4.c:2279-2318): a match sequence's literals must end at
+        # least 2+1+LASTLITERALS bytes before the input end
         bad = jnp.where(is_last, lit_end != M,
-                        (next_p > M) | (offset == 0))
+                        (next_p > M) | (offset == 0)
+                        | (lit_end > M - 8))
         good = ~done & ~bad
         err = err | (~done & bad)
         seen_last = seen_last | (good & is_last)
@@ -99,35 +103,16 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, *, cap_out: int,
         p_next = jnp.where(done | bad | is_last, jnp.int32(cap_in), next_p)
         return (p_next, err, seen_last), rec
 
-    # sequence walk with EARLY EXIT: per-step cost is the dependent
-    # 1-element gathers, so a while_loop that stops at the real sequence
-    # count (parse_one parks the cursor at cap_in on the final/bad
-    # sequence) beats a fixed worst-case-length scan 3-4x on real data
-    # (docs/tpu_perf_notes.md). Records land in a (T, 4) buffer via one
-    # dynamic_update_slice per step.
-    def parse_cond(st):
-        p, _, _, k, _ = st
-        return (p < M) & (k < T)
+    # sequence walk as a lax.scan: records ride the scan's ys outputs
+    # (constant-cost per step; a while_loop record-buffer carry measured
+    # 16x slower on TPU — batched DUS copies the carry every step)
+    def parse(carry, _):
+        carry, rec = parse_one(carry)
+        return carry, rec
 
-    def parse_body(st):
-        p, err, seen_last, k, buf = st
-        (p2, err2, seen2), rec = parse_one((p, err, seen_last))
-        buf = jax.lax.dynamic_update_slice(buf, jnp.stack(rec)[None, :],
-                                           (k, 0))
-        return p2, err2, seen2, k + 1, buf
-
-    # carries derived from the (traced, device-varying) M so the loop
-    # types stay consistent under shard_map's varying-manual-axes checks
-    zero_v = M * 0
-    false_v = M < 0
-    (pf, err, seen_last, ktot, recbuf) = jax.lax.while_loop(
-        parse_cond, parse_body,
-        (zero_v, false_v, false_v, zero_v,
-         jnp.zeros((T, 4), jnp.int32) + zero_v))
-    lit_starts = recbuf[:, 0]
-    litlens = recbuf[:, 1]
-    offs = recbuf[:, 2]
-    mlens = recbuf[:, 3]
+    (pf, err, seen_last), (lit_starts, litlens, offs, mlens) = jax.lax.scan(
+        parse, (jnp.int32(0), jnp.bool_(False), jnp.bool_(False)), None,
+        length=T)
     err = err | ~seen_last          # truncated / endless stream
 
     # ---- placement + checks (elementwise over tokens) -------------------
@@ -135,11 +120,15 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, *, cap_out: int,
     csum = jnp.cumsum(contrib)
     dst_start = csum - contrib
     total_out = csum[-1]
-    err = err | jnp.any(csum > cap_out)
+    oc = out_cap.astype(jnp.int32)      # caller capacity (<= cap_out)
+    err = err | jnp.any(csum > oc)
     match_dst = dst_start + litlens
     has_m = mlens > 0
     err = err | jnp.any(has_m & (match_dst - offs < -dlen))
     err = err | jnp.any(has_m & (offs > LZ4_DISTANCE_MAX))
+    # output-side parsing restriction (lz4.c:2279): no match may begin
+    # within MFLIMIT of the caller's output capacity
+    err = err | jnp.any(has_m & (match_dst > oc - 12))
 
     # ---- merge-by-sort: route token fields to output bytes --------------
     o = jnp.arange(cap_out, dtype=jnp.int32)
@@ -229,8 +218,8 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, *, cap_out: int,
 
 
 @functools.partial(jax.jit, static_argnames=("cap_out", "has_dict"))
-def decode_blocks(comp, comp_lens, dict_bufs, dict_lens, *, cap_out: int,
-                  has_dict: bool):
+def decode_blocks(comp, comp_lens, dict_bufs, dict_lens, out_caps=None, *,
+                  cap_out: int, has_dict: bool):
     """Batched block decode.
 
     comp:      uint8[B, cap_in]   zero-padded compressed blocks
@@ -238,10 +227,14 @@ def decode_blocks(comp, comp_lens, dict_bufs, dict_lens, *, cap_out: int,
     dict_bufs: uint8[B, 65536]    right-aligned history (ignored unless
                                   has_dict)
     dict_lens: int32[B]
+    out_caps:  int32[B] caller capacities (parsing-restriction bound,
+               lz4.c:2279); defaults to cap_out everywhere
     returns (out uint8[B, cap_out], out_lens int32[B], errs int32[B])
     """
     fn = functools.partial(_decode_one, cap_out=cap_out, has_dict=has_dict)
-    return jax.vmap(fn)(comp, comp_lens, dict_bufs, dict_lens)
+    if out_caps is None:
+        out_caps = jnp.full(comp.shape[0], cap_out, jnp.int32)
+    return jax.vmap(fn)(comp, comp_lens, dict_bufs, dict_lens, out_caps)
 
 
 # ---------------------------------------------------------------------------
@@ -274,7 +267,9 @@ def decode_blocks_host(blocks, max_outs, dict_prefixes=None):
                 dict_lens[i] = len(d)
     out, out_lens, errs = decode_blocks(
         jnp.asarray(comp), jnp.asarray(lens), jnp.asarray(dict_bufs),
-        jnp.asarray(dict_lens), cap_out=int(cap_out), has_dict=bool(has_dict))
+        jnp.asarray(dict_lens),
+        jnp.asarray(np.asarray(max_outs, np.int32)),
+        cap_out=int(cap_out), has_dict=bool(has_dict))
     out = np.asarray(out)
     out_lens = np.asarray(out_lens)
     errs = np.asarray(errs)

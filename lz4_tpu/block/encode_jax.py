@@ -98,7 +98,7 @@ def _high_zero_bytes(x):
 # ---------------------------------------------------------------------------
 
 def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
-                n_cand: int = 1, lazy: bool = False):
+                n_cand: int = 1, lazy: bool = False, lite: bool = False):
     """src: uint8[cap_n] zero-padded; n: int32 actual length.
     dict_buf: uint8[DICT_CAP] right-aligned history; dict_len: int32.
     n_cand > 1 scores that many sorted-space candidates per position and
@@ -134,12 +134,21 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
          | (_shift_left(b32, 3, 0) << 24))
     w2 = _shift_left(w, 4, 0)            # gram at p+4
     w3 = _shift_left(w, 8, 0)            # gram at p+8
-    w4 = _shift_left(w, 12, 0)           # gram at p+12
-    wb = _shift_right(w, 4, 0)           # gram at p-4 (byte p-1 in MSB)
-    wb2 = _shift_right(w, 8, 0)          # gram at p-8
-
-    sk, spos, sw2, sw3, sw4, swb, swb2 = jax.lax.sort(
-        (w, idx, w2, w3, w4, wb, wb2), num_keys=1, is_stable=True)
+    if lite:
+        # acceleration graph (--fast on device): the fixed-cost analog
+        # of the reference's skip heuristic (lz4.c:711, 1023-1053) is
+        # shedding sort payload lanes — no 12..16-byte extension words,
+        # no back-extension words. Ratio drops a little; the dominant
+        # multi-payload sort gets ~40% lighter.
+        sk, spos, sw2, sw3 = jax.lax.sort(
+            (w, idx, w2, w3), num_keys=1, is_stable=True)
+        sw4 = swb = swb2 = None
+    else:
+        w4 = _shift_left(w, 12, 0)       # gram at p+12
+        wb = _shift_right(w, 4, 0)       # gram at p-4 (byte p-1 in MSB)
+        wb2 = _shift_right(w, 8, 0)      # gram at p-8
+        sk, spos, sw2, sw3, sw4, swb, swb2 = jax.lax.sort(
+            (w, idx, w2, w3, w4, wb, wb2), num_keys=1, is_stable=True)
 
     def neighbour_fields(i):
         """Match fields vs the candidate i rows back in sorted space:
@@ -149,24 +158,28 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
         cand_i = _shift_right(spos, i, 0)
         x2 = sw2 ^ _shift_right(sw2, i, 0)
         x3 = sw3 ^ _shift_right(sw3, i, 0)
-        x4 = sw4 ^ _shift_right(sw4, i, 0)
-        ext3 = jnp.where(x3 == 0, 4 + jnp.where(x4 == 0, 4,
-                                                _low_zero_bytes(x4)),
-                         _low_zero_bytes(x3))
+        if lite:
+            ext3 = jnp.where(x3 == 0, 4, _low_zero_bytes(x3))
+            bk_i = jnp.zeros_like(cand_i)
+        else:
+            x4 = sw4 ^ _shift_right(sw4, i, 0)
+            ext3 = jnp.where(x3 == 0, 4 + jnp.where(x4 == 0, 4,
+                                                    _low_zero_bytes(x4)),
+                             _low_zero_bytes(x3))
+            xb = swb ^ _shift_right(swb, i, 0)
+            xb2 = swb2 ^ _shift_right(swb2, i, 0)
+            bk_i = _high_zero_bytes(xb)
+            bk_i = jnp.where(xb == 0, 4 + _high_zero_bytes(xb2), bk_i)
+            # wb/wb2 are zero-FILL (not real bytes) for source positions
+            # < 4 / < 8, and fill-vs-fill XOR reads as "bytes match": a
+            # candidate near the buffer start would get a spurious
+            # back-extension (corrupt matches on real data — r2
+            # regression test test_block_start_back_extension). Cap by
+            # how many real back-bytes the candidate's words actually
+            # carry; cand < pos, so the candidate is the binding side.
+            bk_i = jnp.minimum(bk_i, jnp.where(cand_i >= 8, 8,
+                               jnp.where(cand_i >= 4, 4, 0)))
         ext_i = jnp.where(x2 == 0, 4 + ext3, _low_zero_bytes(x2))
-        xb = swb ^ _shift_right(swb, i, 0)
-        xb2 = swb2 ^ _shift_right(swb2, i, 0)
-        bk_i = _high_zero_bytes(xb)
-        bk_i = jnp.where(xb == 0, 4 + _high_zero_bytes(xb2), bk_i)
-        # wb/wb2 are zero-FILL (not real bytes) for source positions
-        # < 4 / < 8, and fill-vs-fill XOR reads as "bytes match": a
-        # candidate near the buffer start would get a spurious
-        # back-extension (corrupt matches on real data — r2 regression
-        # test test_block_start_back_extension). Cap by how many real
-        # back-bytes the candidate's words actually carry; cand < pos,
-        # so the candidate is always the binding side.
-        bk_i = jnp.minimum(bk_i, jnp.where(cand_i >= 8, 8,
-                           jnp.where(cand_i >= 4, 4, 0)))
         # window validity is positional (lo is traced): candidates in
         # sorted space know both positions, so check distance here
         dist = spos - cand_i
@@ -229,34 +242,22 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
     packed_ext = jnp.concatenate([packed, jnp.array([0], jnp.int32)])
     off_ext = jnp.concatenate([off, jnp.array([0], jnp.int32)])
 
-    # token-hop walk with EARLY EXIT: measured per-step cost is the
-    # dependent 1-element gathers (~0.7us each, flat in batch width), so
-    # the win is running only as many steps as there are real tokens —
-    # a while_loop exits at the actual parse length (typically 3-4x
-    # below the worst-case bound on real data; docs/tpu_perf_notes.md).
-    # Under vmap the loop runs to the max token count in the batch.
+    # token-hop walk as a lax.scan: records ride the scan's ys outputs
+    # (constant-cost per step). A while_loop with a record-buffer carry
+    # was tried for early exit and measured 16x SLOWER on TPU — the
+    # batched dynamic_update_slice forces a buffer copy every step
+    # (docs/tpu_perf_notes.md). Worst-case T steps, ~0.7us per dependent
+    # 1-element gather.
     T = cap_n // MINMATCH + 2            # max #matches per block
 
     cur0 = nm_ext[d0]
 
-    def hop_cond(st):
-        cur, k, _ = st
-        return (cur < N) & (k < T)
-
-    def hop_body(st):
-        cur, k, buf = st
+    def hop(cur, _):
         step = jnp.take(packed_ext, cur) & ((1 << 18) - 1)   # ml at cur
         nxt = jnp.take(nm_ext, jnp.minimum(cur + step, N))
-        buf = jax.lax.dynamic_update_slice(buf, cur[None], (k,))
-        return nxt, k + 1, buf
+        return nxt, cur
 
-    # initial carries are derived from the (traced, device-varying) `n`
-    # so the loop types stay consistent under shard_map's varying-manual-
-    # axes propagation (a literal-constant init is rejected there)
-    zero_v = n * 0
-    _, _, tokpos = jax.lax.while_loop(
-        hop_cond, hop_body,
-        (cur0, zero_v, jnp.full((T,), jnp.int32(N)) + zero_v))
+    _, tokpos = jax.lax.scan(hop, cur0, None, length=T)
     tmask = tokpos < N
 
     # ---- stage 4: per-token fields (2 batched gathers + elementwise) ----
@@ -385,9 +386,10 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
 
 
 @functools.partial(jax.jit, static_argnames=("cap_n", "has_dict",
-                                             "n_cand", "lazy"))
+                                             "n_cand", "lazy", "lite"))
 def encode_blocks(src, lens, dict_bufs, dict_lens, *, cap_n: int,
-                  has_dict: bool, n_cand: int = 1, lazy: bool = False):
+                  has_dict: bool, n_cand: int = 1, lazy: bool = False,
+                  lite: bool = False):
     """Batched block encode.
 
     src:       uint8[B, cap_n]    zero-padded source blocks
@@ -400,7 +402,7 @@ def encode_blocks(src, lens, dict_bufs, dict_lens, *, cap_n: int,
              trailing int32[B] — final literal-run length per block)
     """
     fn = functools.partial(_encode_one, cap_n=cap_n, has_dict=has_dict,
-                           n_cand=n_cand, lazy=lazy)
+                           n_cand=n_cand, lazy=lazy, lite=lite)
     return jax.vmap(fn)(src, lens, dict_bufs, dict_lens)
 
 
@@ -416,7 +418,8 @@ def _pad_cap(n: int) -> int:
     return cap
 
 
-def encode_blocks_host(blocks, dict_prefixes=None, *, n_cand=1, lazy=False):
+def encode_blocks_host(blocks, dict_prefixes=None, *, n_cand=1,
+                       lazy=False, lite=False):
     """Compress a list of raw blocks via the vectorized TPU path.
     Returns list[bytes] (raw LZ4 block streams, possibly longer than the
     input — caller applies the stored-block fallback)."""
@@ -441,7 +444,7 @@ def encode_blocks_host(blocks, dict_prefixes=None, *, n_cand=1, lazy=False):
     out, csizes, _ = encode_blocks(
         jnp.asarray(src), jnp.asarray(lens), jnp.asarray(dict_bufs),
         jnp.asarray(dict_lens), cap_n=int(cap_n), has_dict=bool(has_dict),
-        n_cand=n_cand, lazy=lazy)
+        n_cand=n_cand, lazy=lazy, lite=lite)
     out = np.asarray(out)
     csizes = np.asarray(csizes)
     return [out[i, : csizes[i]].tobytes() for i in range(B)]

@@ -217,6 +217,16 @@ def decompress_block(comp: bytes, max_out: int,
             break                      # last sequence: literals only
         if partial and len(out) >= max_out:
             return bytes(out[:max_out])
+        if not partial:
+            # parsing restrictions, enforced like the reference decoder
+            # (lz4.c:2279-2318): a match sequence's literals must end
+            # >= 2+1+LASTLITERALS bytes before the input end and
+            # >= MFLIMIT before the output end, else the stream should
+            # have ended here
+            if m - ip < 2 + 1 + LASTLITERALS:
+                raise BlockDecodeError("sequence too close to input end")
+            if max_out - len(out) < MFLIMIT:
+                raise BlockDecodeError("match too close to output end")
         if ip + 2 > m:
             raise BlockDecodeError("truncated offset")
         offset = comp[ip] | (comp[ip + 1] << 8)

@@ -266,6 +266,15 @@ def main(argv: list[str] | None = None) -> int:
                 if bench_levels and num:
                     bench_levels = list(range(bench_levels[0],
                                               int(num) + 1))
+            elif c == "i":
+                # -i#: minimum seconds per bench timing loop
+                num = ""
+                while j < len(a) and a[j].isdigit():
+                    num += a[j]
+                    j += 1
+                if not num:
+                    raise CliError("-i needs a number of seconds")
+                prefs.bench_seconds = float(num)
             elif c == "B":
                 if j < len(a) and a[j] == "D":
                     prefs.block_independence = False
@@ -314,7 +323,8 @@ def _dispatch(mode, prefs, files, multiple, recursive, force_stdout,
     if mode == "bench":
         from lz4_tpu.bench_harness import bench_files
         bench_files(files or ["-"], bench_levels or [1], prefs,
-                    backend=backend)
+                    backend=backend,
+                    nb_seconds=getattr(prefs, "bench_seconds", 3.0))
         return 0
 
     if not files:

@@ -61,6 +61,7 @@ class IoPrefs:
     sparse_file_support: bool = True
     content_size_flag: bool = False
     favor_dec_speed: bool = False
+    bench_seconds: float = 3.0     # -i# (bench.c g_nbSeconds analog)
     dictionary_filename: str | None = None
     remove_src_file: bool = False
     nb_workers: int = 0

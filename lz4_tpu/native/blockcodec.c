@@ -264,6 +264,13 @@ long lz4t_decompress_block(const uint8_t *comp, long clen, uint8_t *dst,
             op += lit;
         }
         if (ip == iend) break;            /* last sequence: literals only */
+        /* parsing restrictions, enforced like the reference decoder
+         * (lz4.c:2279-2318): a match sequence's literals must end at
+         * least 2+1+LASTLITERALS bytes before the input end and MFLIMIT
+         * bytes before the output end — otherwise the stream should
+         * have terminated here and is invalid. */
+        if ((size_t)(iend - ip) < 2 + 1 + LASTLITERALS) return -1;
+        if ((size_t)(oend - op) < MFLIMIT) return -1;
         if (iend - ip < 2) return -1;
         off = (size_t)ip[0] | ((size_t)ip[1] << 8);
         ip += 2;

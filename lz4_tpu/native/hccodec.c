@@ -97,7 +97,12 @@ static size_t hc_search(hc_tables *t, const uint8_t *base, long p,
         if (!(favor && off < 8) && read32(base + c) == read32(base + p)) {
             size_t ml = MINMATCH + mlen_fwd(base + p + MINMATCH,
                                             base + c + MINMATCH, limit);
-            if (ml > best) { best = ml; *mpos = (long)c; }
+            if (ml > best) { best = ml; *mpos = (long)c;
+                /* saturated: the match reaches the scan limit — no
+                 * deeper candidate can beat it (degenerate-chain guard
+                 * for RLE data, the pattern-analysis analog of
+                 * lz4hc.c:811-1059) */
+                if (base + p + ml >= limit) break; }
         }
         c = t->chain[c & ((1 << 17) - 1)];
         if (c != NOPOS && (long)c >= p) break;   /* stale ring entry */
@@ -228,6 +233,11 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
     uint8_t *op = dst, *oend = dst + dst_cap;
     const uint8_t *anchor = src;
     long s, i;
+    /* sufficient-length immediate accept (lz4hc.c:1872-1882 analog):
+     * a match this long is always taken whole; positions inside it are
+     * not re-searched — turns O(run^2) RLE scans into O(run) */
+    const long ACCEPT_LEN = 1024;
+    long skip_until = 0;
 
     if (n == 0) { if (dst_cap < 1) return 0; *dst = 0; return 1; }
 
@@ -278,6 +288,7 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
             }
             if (gi + MINMATCH <= n) hc_insert(t, base, pos);
             if (price[i] >= OPT_INF) continue;
+            if (gi < skip_until) continue;
             if (gi <= match_start_max) {
                 long mpos = -1;
                 size_t best;
@@ -298,7 +309,9 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
                                 base + pos + MINMATCH, base + c + MINMATCH,
                                 limit);
                             if (ml > best) { best = ml; mpos = (long)c;
-                                if ((long)ml >= suff) break; }
+                                if ((long)ml >= suff) break;
+                                /* saturated (RLE degenerate chains) */
+                                if (base + pos + ml >= limit) break; }
                         }
                         c = t->chain[c & ((1 << 17) - 1)];
                         if (c != NOPOS && (long)c >= pos) break;
@@ -306,6 +319,7 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
                 }
                 if (favor && best > 18 && best <= 36) best = 18;
                 if ((long)best > L - i) best = (size_t)(L - i);
+                if ((long)best >= ACCEPT_LEN) skip_until = gi + (long)best;
                 if (best >= MINMATCH && mpos >= 0) {
                     long off = pos - mpos;
                     /* price-class maxima: every 18 + 255k below best,

@@ -76,12 +76,12 @@ class ShardedCodec:
         return jax.device_put(arr, self._shard)
 
     def encode(self, src, lens, dict_bufs, dict_lens, *, cap_n, has_dict,
-               n_cand=1, lazy=False):
+               n_cand=1, lazy=False, lite=False):
         src, lens = self._put(src), self._put(lens)
         dict_bufs, dict_lens = self._put(dict_bufs), self._put(dict_lens)
         return encode_blocks(src, lens, dict_bufs, dict_lens,
                              cap_n=cap_n, has_dict=has_dict,
-                             n_cand=n_cand, lazy=lazy)
+                             n_cand=n_cand, lazy=lazy, lite=lite)
 
     def decode(self, comp, lens, dict_bufs, dict_lens, *, cap_out, has_dict):
         comp, lens = self._put(comp), self._put(lens)
@@ -293,7 +293,7 @@ class TpuBackend:
     HC_N_CAND = 8
 
     def _device_encode_padded(self, blocks, dict_prefixes, *, cap_n,
-                              has_dict, n_cand, lazy):
+                              has_dict, n_cand, lazy, lite=False):
         """Pad + batch + dispatch fixed-shape encode chunks; returns
         (list[bytes] streams, list[int] trailing literal runs)."""
         B = self._round_batch(len(blocks))
@@ -319,13 +319,13 @@ class TpuBackend:
                 o, cs, tr = self.codec.encode(
                     src[sl], lens[sl], dict_bufs[sl], dict_lens[sl],
                     cap_n=cap_n, has_dict=has_dict, n_cand=n_cand,
-                    lazy=lazy)
+                    lazy=lazy, lite=lite)
             else:
                 o, cs, tr = encode_blocks(
                     jnp.asarray(src[sl]), jnp.asarray(lens[sl]),
                     jnp.asarray(dict_bufs[sl]), jnp.asarray(dict_lens[sl]),
                     cap_n=cap_n, has_dict=has_dict, n_cand=n_cand,
-                    lazy=lazy)
+                    lazy=lazy, lite=lite)
             outs.append(o)
             sizes.append(cs)
             trails.append(tr)
@@ -335,7 +335,8 @@ class TpuBackend:
         return ([out[i, : csizes[i]].tobytes() for i in range(len(blocks))],
                 [int(t) for t in trail[: len(blocks)]])
 
-    def _compress_big_batch(self, blocks, dict_prefixes, *, n_cand, lazy):
+    def _compress_big_batch(self, blocks, dict_prefixes, *, n_cand, lazy,
+                            lite=False):
         """Blocks above the 64 KB tier: encode as linked 64 KB segments
         on device, then fold the segment seams host-side
         (merge_segment_streams). One compiled shape serves all tiers."""
@@ -354,7 +355,7 @@ class TpuBackend:
             counts.append(m)
         comp, trail = self._device_encode_padded(
             seg_blocks, seg_dicts, cap_n=SEG, has_dict=True,
-            n_cand=n_cand, lazy=lazy)
+            n_cand=n_cand, lazy=lazy, lite=lite)
         results, idx = [], 0
         for b, m in zip(blocks, counts):
             results.append(merge_segment_streams(
@@ -386,12 +387,15 @@ class TpuBackend:
                 favor_dec_speed=favor_dec_speed)
         n_cand = self.HC_N_CAND if device_hc else 1
         lazy = device_hc
+        # --fast=4+ selects the lighter acceleration graph (fewer sort
+        # payload lanes; see encode_jax lite docstring)
+        lite = (not device_hc) and acceleration >= 4
         if mx > SEG:
             return self._compress_big_batch(
-                blocks, dict_prefixes, n_cand=n_cand, lazy=lazy)
+                blocks, dict_prefixes, n_cand=n_cand, lazy=lazy, lite=lite)
         out, _ = self._device_encode_padded(
             blocks, dict_prefixes, cap_n=_pad_cap(mx), has_dict=has_dict,
-            n_cand=n_cand, lazy=lazy)
+            n_cand=n_cand, lazy=lazy, lite=lite)
         return out
 
     def decompress_batch(self, blocks, max_outs, *, dict_prefixes=None):

@@ -68,11 +68,13 @@ def gen_text(size: int, seed: int = 0) -> bytes:
     """Deterministic natural-text-like generator (the reference's
     lorem.c / LOREM_genBuffer analog): Zipf-ish word draws, sentence
     capitalization and punctuation."""
+    if size <= 0:
+        return b""
     rng = np.random.default_rng(seed)
     out = []
     n = 0
     sentence = 0
-    ranks = rng.zipf(1.3, size // 4) % len(_WORDS)
+    ranks = rng.zipf(1.3, max(1, size // 4)) % len(_WORDS)
     i = 0
     while n < size:
         w = _WORDS[int(ranks[i % len(ranks)])]

@@ -165,3 +165,18 @@ def test_tpu_backend_routes_level2_to_device(monkeypatch):
     assert called.get("n_cand") == eng.TpuBackend.HC_N_CAND
     assert called.get("lazy") is True
     assert decompress_block(out[0], len(blob)) == blob
+
+
+def test_acceleration_lite_graph():
+    """--fast on device = the lite graph (fewer sort payloads): output
+    stays valid, ratio penalty is bounded."""
+    from lz4_tpu.parallel.engine import TpuBackend
+    from lz4_tpu.utils.realcorpus import real_corpus
+    be = TpuBackend(codec=None)
+    data = real_corpus(256 * 1024)
+    blocks = [data[i:i + 65536] for i in range(0, len(data), 65536)]
+    full = be.compress_batch(blocks, level=1, acceleration=1)
+    fast = be.compress_batch(blocks, level=1, acceleration=8)
+    for b, c in zip(blocks, fast):
+        assert decompress_block(c, len(b)) == b
+    assert sum(map(len, fast)) <= sum(map(len, full)) * 1.10

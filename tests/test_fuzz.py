@@ -153,3 +153,19 @@ def test_partial_decode_sweep():
     for target in [0, 1, 7, 100, 2500, 4999, 5000]:
         out = decompress_block(comp, target, partial=True)
         assert out == raw[:target]
+
+
+@pytest.mark.skipif(not os.environ.get("LZ4_TPU_TORTURE"),
+                    reason="set LZ4_TPU_TORTURE=1 for the 90s torture run")
+def test_torture_long():
+    """The reference's `fuzzer -T90s` analog + differential decode vs
+    liblz4 (tools/torture.py). Env-gated: too slow for every CI run."""
+    import subprocess
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "torture.py"),
+         "--cpu", "--seconds", os.environ.get("LZ4_TPU_TORTURE_SECONDS",
+                                              "90")],
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stdout + proc.stderr

