@@ -47,7 +47,7 @@ DICT_CAP = 65536  # static history window capacity (64 KB)
 # ---------------------------------------------------------------------------
 
 def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
-                cap_out: int, has_dict: bool):
+                cap_out: int, has_dict: bool, partial: bool = False):
     cap_in = comp.shape[0]
     idx = jnp.arange(cap_in, dtype=jnp.int32)
     c32 = comp.astype(jnp.int32)
@@ -75,6 +75,11 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
         extlit = 255 * (q - (p + 1)) + rd(c_ext, q)
         litlen = jnp.where(litnib == 15, litnib + extlit, litnib)
         lit_start = jnp.where(litnib == 15, q + 1, p + 1)
+        if partial:
+            # LZ4_decompress_safe_partial semantics (lz4.c:2450-2560):
+            # a final literal run cut short by the input end is served
+            # as far as the input goes
+            litlen = jnp.minimum(litlen, jnp.maximum(M - lit_start, 0))
         lit_end = lit_start + litlen
         is_last = lit_end >= M
         offset = rd(c_ext, lit_end) | (rd(c_ext, lit_end + 1) << 8)
@@ -84,14 +89,19 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
         extmat = 255 * (q2 - mo) + rd(c_ext, q2)
         mlen = MINMATCH + jnp.where(matnib == 15, matnib + extmat, matnib)
         next_p = jnp.where(matnib == 15, q2 + 1, mo)
-        # parsing restrictions mirror the reference decoder
-        # (lz4.c:2279-2318): a match sequence's literals must end at
-        # least 2+1+LASTLITERALS bytes before the input end
-        bad = jnp.where(is_last, lit_end != M,
-                        (next_p > M) | (offset == 0)
-                        | (lit_end > M - 8))
-        good = ~done & ~bad
-        err = err | (~done & bad)
+        if partial:
+            # truncated sequences end the stream instead of erroring
+            bad = (~is_last) & ((next_p > M) | (offset == 0))
+            good = ~done & ~bad
+        else:
+            # parsing restrictions mirror the reference decoder
+            # (lz4.c:2279-2318): a match sequence's literals must end at
+            # least 2+1+LASTLITERALS bytes before the input end
+            bad = jnp.where(is_last, lit_end != M,
+                            (next_p > M) | (offset == 0)
+                            | (lit_end > M - 8))
+            good = ~done & ~bad
+            err = err | (~done & bad)
         seen_last = seen_last | (good & is_last)
         rec = (
             jnp.where(good, lit_start, 0),
@@ -113,7 +123,8 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
     (pf, err, seen_last), (lit_starts, litlens, offs, mlens) = jax.lax.scan(
         parse, (jnp.int32(0), jnp.bool_(False), jnp.bool_(False)), None,
         length=T)
-    err = err | ~seen_last          # truncated / endless stream
+    if not partial:
+        err = err | ~seen_last      # truncated / endless stream
 
     # ---- placement + checks (elementwise over tokens) -------------------
     contrib = litlens + mlens
@@ -121,14 +132,21 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
     dst_start = csum - contrib
     total_out = csum[-1]
     oc = out_cap.astype(jnp.int32)      # caller capacity (<= cap_out)
-    err = err | jnp.any(csum > oc)
     match_dst = dst_start + litlens
     has_m = mlens > 0
-    err = err | jnp.any(has_m & (match_dst - offs < -dlen))
-    err = err | jnp.any(has_m & (offs > LZ4_DISTANCE_MAX))
-    # output-side parsing restriction (lz4.c:2279): no match may begin
-    # within MFLIMIT of the caller's output capacity
-    err = err | jnp.any(has_m & (match_dst > oc - 12))
+    if partial:
+        # only sequences contributing to the requested prefix matter
+        rel = has_m & (dst_start < oc)
+        err = err | jnp.any(rel & (match_dst - offs < -dlen))
+        err = err | jnp.any(rel & (offs > LZ4_DISTANCE_MAX))
+        total_out = jnp.minimum(total_out, oc)
+    else:
+        err = err | jnp.any(csum > oc)
+        err = err | jnp.any(has_m & (match_dst - offs < -dlen))
+        err = err | jnp.any(has_m & (offs > LZ4_DISTANCE_MAX))
+        # output-side parsing restriction (lz4.c:2279): no match may
+        # begin within MFLIMIT of the caller's output capacity
+        err = err | jnp.any(has_m & (match_dst > oc - 12))
 
     # ---- merge-by-sort: route token fields to output bytes --------------
     o = jnp.arange(cap_out, dtype=jnp.int32)
@@ -217,9 +235,10 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
     return out, total_out, err.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("cap_out", "has_dict"))
+@functools.partial(jax.jit, static_argnames=("cap_out", "has_dict",
+                                             "partial"))
 def decode_blocks(comp, comp_lens, dict_bufs, dict_lens, out_caps=None, *,
-                  cap_out: int, has_dict: bool):
+                  cap_out: int, has_dict: bool, partial: bool = False):
     """Batched block decode.
 
     comp:      uint8[B, cap_in]   zero-padded compressed blocks
@@ -231,7 +250,8 @@ def decode_blocks(comp, comp_lens, dict_bufs, dict_lens, out_caps=None, *,
                lz4.c:2279); defaults to cap_out everywhere
     returns (out uint8[B, cap_out], out_lens int32[B], errs int32[B])
     """
-    fn = functools.partial(_decode_one, cap_out=cap_out, has_dict=has_dict)
+    fn = functools.partial(_decode_one, cap_out=cap_out, has_dict=has_dict,
+                           partial=partial)
     if out_caps is None:
         out_caps = jnp.full(comp.shape[0], cap_out, jnp.int32)
     return jax.vmap(fn)(comp, comp_lens, dict_bufs, dict_lens, out_caps)
@@ -241,14 +261,15 @@ def decode_blocks(comp, comp_lens, dict_bufs, dict_lens, out_caps=None, *,
 # convenience host API (bytes in/out) used by tests and the engine
 # ---------------------------------------------------------------------------
 
-def decode_blocks_host(blocks, max_outs, dict_prefixes=None):
+def decode_blocks_host(blocks, max_outs, dict_prefixes=None, *,
+                       partial=False):
     """Decode a list of compressed blocks via the vectorized TPU path.
     Groups by capacity; returns list[bytes]. Raises on any error flag."""
     if not blocks:
         return []
     cap_in = max(len(b) for b in blocks)
     cap_in = max(cap_in, 16)
-    cap_out = max(max_outs)
+    cap_out = max(max(max_outs), 16)
     B = len(blocks)
     comp = np.zeros((B, cap_in), np.uint8)
     lens = np.zeros(B, np.int32)
@@ -269,7 +290,7 @@ def decode_blocks_host(blocks, max_outs, dict_prefixes=None):
         jnp.asarray(comp), jnp.asarray(lens), jnp.asarray(dict_bufs),
         jnp.asarray(dict_lens),
         jnp.asarray(np.asarray(max_outs, np.int32)),
-        cap_out=int(cap_out), has_dict=bool(has_dict))
+        cap_out=int(cap_out), has_dict=bool(has_dict), partial=partial)
     out = np.asarray(out)
     out_lens = np.asarray(out_lens)
     errs = np.asarray(errs)

@@ -114,3 +114,24 @@ def test_decode_64k_text_blocks():
     comp = HostBackend().compress_batch(blocks)
     out = decode_blocks_host(comp, [bs] * 3)
     assert out == blocks
+
+
+def test_device_partial_decode():
+    """LZ4_decompress_safe_partial analog on device (lz4.c:2450-2560):
+    target sweep, truncated input, dict mode."""
+    from lz4_tpu.block.ref_codec import compress_block
+    from lz4_tpu.utils.datagen import gen_text
+    raw = gen_text(30000, seed=3)
+    comp = compress_block(raw)
+    for target in (0, 1, 100, 7777, 29999, 30000):
+        out = decode_blocks_host([comp], [target], partial=True)[0]
+        assert out == raw[:target]
+    half = decode_blocks_host([comp[: len(comp) // 2]], [30000],
+                              partial=True)[0]
+    assert raw.startswith(half) and half
+    hist = gen_text(65536, seed=9)
+    data = hist[100:8000]
+    c2 = compress_block(data, dict_prefix=hist)
+    out = decode_blocks_host([c2], [4000], dict_prefixes=[hist],
+                             partial=True)[0]
+    assert out == data[:4000]
