@@ -99,3 +99,76 @@ void lz4t_xxh32_batch(const uint8_t *blocks, size_t cap, size_t nblocks,
         out[i] = lz4t_xxh32(blocks + i * cap, lengths[i], seed);
     }
 }
+
+/* ---------------- XXH64 (public algorithm spec) ---------------------- */
+
+#define P64_1 11400714785074694791ULL
+#define P64_2 14029467366897019727ULL
+#define P64_3 1609587929392839161ULL
+#define P64_4 9650029242287828579ULL
+#define P64_5 2870177450012600261ULL
+
+static inline uint64_t rotl64(uint64_t x, int r) {
+    return (x << r) | (x >> (64 - r));
+}
+static inline uint64_t read64(const uint8_t *p) {
+    uint64_t v; memcpy(&v, p, 8); return v;
+}
+static inline uint64_t x64_round(uint64_t acc, uint64_t input) {
+    acc += input * P64_2;
+    acc = rotl64(acc, 31);
+    return acc * P64_1;
+}
+static inline uint64_t x64_merge(uint64_t acc, uint64_t val) {
+    acc ^= x64_round(0, val);
+    return acc * P64_1 + P64_4;
+}
+
+uint64_t lz4t_xxh64(const uint8_t *p, size_t len, uint64_t seed) {
+    const uint8_t *end = p + len;
+    uint64_t h;
+    if (len >= 32) {
+        uint64_t v1 = seed + P64_1 + P64_2;
+        uint64_t v2 = seed + P64_2;
+        uint64_t v3 = seed;
+        uint64_t v4 = seed - P64_1;
+        const uint8_t *limit = end - 32;
+        do {
+            v1 = x64_round(v1, read64(p)); p += 8;
+            v2 = x64_round(v2, read64(p)); p += 8;
+            v3 = x64_round(v3, read64(p)); p += 8;
+            v4 = x64_round(v4, read64(p)); p += 8;
+        } while (p <= limit);
+        h = rotl64(v1, 1) + rotl64(v2, 7) + rotl64(v3, 12)
+            + rotl64(v4, 18);
+        h = x64_merge(h, v1);
+        h = x64_merge(h, v2);
+        h = x64_merge(h, v3);
+        h = x64_merge(h, v4);
+    } else {
+        h = seed + P64_5;
+    }
+    h += (uint64_t)len;
+    while (p + 8 <= end) {
+        h ^= x64_round(0, read64(p));
+        h = rotl64(h, 27) * P64_1 + P64_4;
+        p += 8;
+    }
+    if (p + 4 <= end) {
+        uint32_t w; memcpy(&w, p, 4);
+        h ^= (uint64_t)w * P64_1;
+        h = rotl64(h, 23) * P64_2 + P64_3;
+        p += 4;
+    }
+    while (p < end) {
+        h ^= (*p) * P64_5;
+        h = rotl64(h, 11) * P64_1;
+        p++;
+    }
+    h ^= h >> 33;
+    h *= P64_2;
+    h ^= h >> 29;
+    h *= P64_3;
+    h ^= h >> 32;
+    return h;
+}
