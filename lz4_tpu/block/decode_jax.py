@@ -42,6 +42,35 @@ from lz4_tpu.constants import LZ4_DISTANCE_MAX, MINMATCH
 DICT_CAP = 65536  # static history window capacity (64 KB)
 
 
+def sort_gather(values, idx):
+    """out[i] = values[idx[i]] as a merge-by-sort: on TPU, XLA lowers an
+    arbitrary gather to a serialized loop (~26 ms per 2M elements through
+    the relay) while two stable 3-lane sorts cost a fraction of that
+    (docs/tpu_perf_notes.md). Providers (j, values[j]) and consumers
+    (idx[i], i) merge on one sorted key with a provider-first tag bit; a
+    last-provider-value fill hands every consumer its element; a second
+    sort restores consumer order. idx must be pre-clipped to [0, N)."""
+    N = values.shape[0]
+    K = idx.shape[0]
+    jar = jnp.arange(N, dtype=jnp.int32)
+    iar = jnp.arange(K, dtype=jnp.int32)
+    key = jnp.concatenate([jar * 2, idx * 2 + 1])
+    val = jnp.concatenate([values, jnp.zeros(K, values.dtype)])
+    slot = jnp.concatenate([jnp.full(N, -1, jnp.int32), iar])
+    _, sv, ss = jax.lax.sort((key, val, slot), num_keys=1, is_stable=True)
+
+    def last_provider(a, b):
+        # (value, has_provider): segment value = last provider value;
+        # the flag lane keeps the combine associative
+        keep = b[1]
+        return (jnp.where(keep, b[0], a[0]), a[1] | b[1])
+
+    filled, _ = jax.lax.associative_scan(last_provider, (sv, ss < 0))
+    ckey = jnp.where(ss >= 0, ss, jnp.int32(N + K))
+    _, out = jax.lax.sort((ckey, filled), num_keys=1, is_stable=True)
+    return out[:K]
+
+
 # ---------------------------------------------------------------------------
 # single-block decode (vmapped over a batch by decode_blocks)
 # ---------------------------------------------------------------------------
@@ -160,10 +189,11 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
     f_ls = jnp.concatenate([lit_starts, zpad])
     f_ll = jnp.concatenate([litlens, zpad])
     f_off = jnp.concatenate([offs, zpad])
-    slot = jnp.concatenate([jnp.full(T, cap_out, jnp.int32), o])
-
-    smk, g_start, g_ls, g_ll, g_off, g_slot = jax.lax.sort(
-        (mkey, f_start, f_ls, f_ll, f_off, slot), num_keys=1,
+    # byte rows are identified by the merged key's low tag bit; their
+    # original position equals their rank among byte rows (stable sort),
+    # so no slot payload lane is carried
+    smk, g_start, g_ls, g_ll, g_off = jax.lax.sort(
+        (mkey, f_start, f_ls, f_ll, f_off), num_keys=1,
         is_stable=True)
 
     def last_valid(a, b):
@@ -173,7 +203,9 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
     p_start, p_ls, p_ll, p_off = jax.lax.associative_scan(
         last_valid, (g_start, g_ls, g_ll, g_off))
 
-    bkey = jnp.where(g_slot < cap_out, g_slot, BIG)
+    is_byte = (smk & 1) == 1
+    rank = jnp.cumsum(is_byte.astype(jnp.int32)) - 1
+    bkey = jnp.where(is_byte, rank, BIG)
     _, key_o, ls_o, ll_o, off_o = jax.lax.sort(
         (bkey, p_start, p_ls, p_ll, p_off), num_keys=1, is_stable=True)
     key_o = key_o[:cap_out]
@@ -205,28 +237,44 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
     mat_ptr = jnp.where(src_out >= 0, src_out, dict_code)
     ptr = jnp.where(is_lit, lit_ptr, jnp.where(covered, mat_ptr, -1))
 
-    # ---- resolve match chains (convergence-bounded doubling) ------------
+    # ---- resolve match chains (doubling over sort-gathers) --------------
+    # Each round composes the pointer map with itself (reach doubles).
+    # The first rounds are UNROLLED straight-line sort_gathers — on TPU
+    # two stable sorts beat one serialized HBM gather ~3x, and keeping
+    # the sorts out of loop bodies avoids the fori_loop+sort lowering
+    # hazard recorded in docs/tpu_perf_notes.md. With the analytic
+    # intra-token escape each application is a full token hop, so 4
+    # doubling rounds resolve generation depth 16; rare deeper chains
+    # (and junk graphs in malformed blocks) finish in a bounded
+    # take-based residual loop that usually runs zero iterations.
+    def round_step(p):
+        nxt = sort_gather(p, jnp.clip(p, 0, cap_out - 1))
+        return jnp.where(p >= 0, nxt, p)
+
+    for _ in range(4):
+        ptr = round_step(ptr)
+
     def chase_cond(state):
-        ptr, changed, rounds = state
-        return changed & (rounds < 18)
+        ptr, rounds = state
+        return jnp.any(ptr >= 0) & (rounds < 14)
 
     def chase_body(state):
-        ptr, _, rounds = state
+        ptr, rounds = state
         nxt = jnp.take(ptr, jnp.clip(ptr, 0, cap_out - 1))
-        new = jnp.where(ptr >= 0, nxt, ptr)
-        return new, jnp.any(new != ptr), rounds + 1
+        return jnp.where(ptr >= 0, nxt, ptr), rounds + 1
 
-    ptr, _, _ = jax.lax.while_loop(
-        chase_cond, chase_body,
-        (ptr, jnp.any(ptr >= 0), jnp.int32(0)))
+    ptr, _ = jax.lax.while_loop(chase_cond, chase_body,
+                                (ptr, jnp.int32(0)))
 
-    # ---- materialize -----------------------------------------------------
+    # ---- materialize (same merge-by-sort trick for the byte fetch) ------
     code = -ptr - 1
     from_input = code < cap_in
-    in_bytes = jnp.take(comp, jnp.clip(code, 0, cap_in - 1))
+    in_bytes = sort_gather(c32, jnp.clip(code, 0, cap_in - 1)
+                           ).astype(jnp.uint8)
     if has_dict:
         dict_idx = jnp.clip(code - cap_in, 0, DICT_CAP - 1)
-        d_bytes = jnp.take(dict_buf, dict_idx)
+        d_bytes = sort_gather(dict_buf.astype(jnp.int32),
+                              dict_idx).astype(jnp.uint8)
         out = jnp.where(from_input, in_bytes, d_bytes)
     else:
         err = err | jnp.any((o < total_out) & ~from_input)

@@ -317,10 +317,11 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
     f_Lel = jnp.concatenate([sLel, zpad])
     f_offM4 = jnp.concatenate([soffM4, zpad])
     f_base = jnp.concatenate([sbase, zpad])
-    slot = jnp.concatenate([jnp.full(nseq, cap_out, jnp.int32), o])
-
-    (smk, g_start, g_Lel, g_offM4, g_base, g_slot) = jax.lax.sort(
-        (mkey, f_start, f_Lel, f_offM4, f_base, slot),
+    # the byte/sequence tag rides the merged key's low bit, so each byte
+    # row's original position is just its rank among byte rows after the
+    # stable sort — no slot payload lane needed
+    (smk, g_start, g_Lel, g_offM4, g_base) = jax.lax.sort(
+        (mkey, f_start, f_Lel, f_offM4, f_base),
         num_keys=1, is_stable=True)
 
     def last_valid(a, b):
@@ -331,7 +332,9 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
         last_valid, (g_start, g_Lel, g_offM4, g_base))
 
     # extract byte rows in output order (sequence rows park at the end)
-    bkey = jnp.where(g_slot < cap_out, g_slot, BIG)
+    is_byte = (smk & 1) == 1
+    rank = jnp.cumsum(is_byte.astype(jnp.int32)) - 1
+    bkey = jnp.where(is_byte, rank, BIG)
     (_, key_o, pLel_o, poffM4_o, base_o) = jax.lax.sort(
         (bkey, p_start, p_Lel, p_offM4, p_base),
         num_keys=1, is_stable=True)
@@ -357,12 +360,12 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
     q = jax.lax.cummax(q, axis=0)
     key3 = jnp.concatenate([idx * 2, jnp.clip(q, 0, N - 1) * 2 + 1])
     vals3 = jnp.concatenate([b32.astype(jnp.int32) + 1, zpad])  # +1: valid
-    slot3 = jnp.concatenate([jnp.full(N, cap_out, jnp.int32), o])
-    _, v_s, slot_s = jax.lax.sort((key3, vals3, slot3), num_keys=1,
-                                  is_stable=True)
+    smk3, v_s = jax.lax.sort((key3, vals3), num_keys=1, is_stable=True)
     filled, = jax.lax.associative_scan(
         lambda a, b: (jnp.where(b[0] > 0, b[0], a[0]),), (v_s,))
-    bkey3 = jnp.where(slot_s < cap_out, slot_s, BIG)
+    is_byte3 = (smk3 & 1) == 1
+    rank3 = jnp.cumsum(is_byte3.astype(jnp.int32)) - 1
+    bkey3 = jnp.where(is_byte3, rank3, BIG)
     _, lit_sorted = jax.lax.sort((bkey3, filled), num_keys=1,
                                  is_stable=True)
     lit_byte = lit_sorted[:cap_out] - 1

@@ -117,6 +117,10 @@ def main() -> None:
     record(timeit("gather_rand",
                   lambda p, i: jax.vmap(jnp.take)(p, i), p1, gidx),
            bytes_moved=B * N * 4)
+    from lz4_tpu.block.decode_jax import sort_gather
+    record(timeit("sort_gather",
+                  lambda p, i: jax.vmap(sort_gather)(p, i), p1, gidx),
+           bytes_moved=B * N * 4)
     record(timeit("gather_u8",
                   lambda p, i: jax.vmap(jnp.take)(p, i), u8, gidx),
            bytes_moved=B * N)
