@@ -24,6 +24,7 @@ import os
 import struct
 import sys
 import threading
+import time
 import queue
 from dataclasses import dataclass, field
 
@@ -73,6 +74,48 @@ class IoPrefs:
 
 class IoError(RuntimeError):
     pass
+
+
+class ProgressDisplay:
+    """Throttled stderr progress line (the DISPLAYUPDATE analog,
+    lz4io.c:109-110, 630-634) plus a final wall/CPU time summary
+    (LZ4IO_finalTimeDisplay, lz4io.c:118-136). Active at verbosity >= 2
+    when stderr is a terminal, or always at verbosity >= 4."""
+
+    REFRESH = 0.15
+
+    def __init__(self, prefs: "IoPrefs", total_in: int | None = None):
+        v = prefs.verbosity
+        self.enabled = (v >= 4) or (v >= 2 and sys.stderr.isatty())
+        self.show_final = v >= 3
+        self.total = total_in
+        self._last = 0.0
+        self._t0 = time.perf_counter()
+        self._cpu0 = time.process_time()
+
+    def update(self, done_in: int, done_out: int) -> None:
+        if not self.enabled:
+            return
+        now = time.perf_counter()
+        if now - self._last < self.REFRESH:
+            return
+        self._last = now
+        if self.total:
+            pct = 100.0 * done_in / max(1, self.total)
+            sys.stderr.write(f"\rRead : {done_in >> 20} MB ({pct:.2f}%) ")
+        else:
+            sys.stderr.write(f"\rRead : {done_in >> 20} MB ")
+        sys.stderr.flush()
+
+    def finish(self, msg: str) -> None:
+        if self.enabled:
+            sys.stderr.write("\r" + " " * 60 + "\r")
+        if self.show_final:
+            wall = time.perf_counter() - self._t0
+            cpu = time.process_time() - self._cpu0
+            sys.stderr.write(f"{msg}\nDone in {wall:.2f} s  "
+                             f"(cpu load : {0 if wall == 0 else 100 * cpu / wall:.0f}%)\n")
+            sys.stderr.flush()
 
 
 def _open_src(path: str):
@@ -158,6 +201,12 @@ def compress_file(src_path: str, dst_path: str | None,
             hdr = comp.begin()
             fout.write(hdr)
             total_out += len(hdr)
+            try:
+                fsize = (os.path.getsize(src_path)
+                         if src_path not in ("-", "stdin") else None)
+            except OSError:
+                fsize = None
+            prog = ProgressDisplay(prefs, fsize)
             # pipelined read: a reader thread keeps the device fed
             q: queue.Queue = queue.Queue(maxsize=2)
             t = threading.Thread(target=_reader, args=(fin, q), daemon=True)
@@ -170,10 +219,14 @@ def compress_file(src_path: str, dst_path: str | None,
                 out = comp.update(chunk)
                 fout.write(out)
                 total_out += len(out)
+                prog.update(total_in, total_out)
             tail = comp.end()
             fout.write(tail)
             total_out += len(tail)
             t.join()
+            prog.finish(
+                f"Compressed {total_in} bytes into {total_out} bytes "
+                f"==> {0 if not total_in else 100.0 * total_out / total_in:.2f}%")
     finally:
         if fin is not sys.stdin.buffer:
             fin.close()
@@ -259,6 +312,12 @@ def decompress_file(src_path: str, dst_path: str | None,
         raw_out = _open_dst(dst_path, prefs)
     sink = SparseWriter(raw_out, prefs.sparse_file_support)
     total_in = total_out = 0
+    try:
+        fsize = (os.path.getsize(src_path)
+                 if src_path not in ("-", "stdin") else None)
+    except OSError:
+        fsize = None
+    prog = ProgressDisplay(prefs, fsize)
     # read-ahead thread: overlaps file input with decode + write (the
     # reference's decode/IO overlap, lz4io.c:1942-2203, ~+60%)
     rq: queue.Queue = queue.Queue(maxsize=2)
@@ -317,6 +376,7 @@ def decompress_file(src_path: str, dst_path: str | None,
                 pending = pending[consumed:]
                 sink.write(out)
                 total_out += len(out)
+                prog.update(total_in, total_out)
                 if dec.frame_done:
                     pending = dec.legacy_lookahead + pending
                     break
@@ -330,6 +390,8 @@ def decompress_file(src_path: str, dst_path: str | None,
                     total_in += len(more)
                     pending = more
             nframes += 1
+        prog.finish(f"Decompressed {total_out} bytes from {total_in} "
+                    "compressed bytes")
     finally:
         sink.close()
         if fin is not sys.stdin.buffer:
