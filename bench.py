@@ -160,23 +160,51 @@ def main() -> None:
     rt = np.concatenate([np.asarray(o) for o in douts], axis=0).tobytes()
     assert xxh32(rt) == xxh32(data), "round-trip mismatch"
 
-    # size parity vs the reference encoder on the SAME corpus (host-side,
-    # cheap; skipped if the oracle can't build)
+    # size parity vs the reference encoder on the SAME corpus, and
+    # device decode of REFERENCE-produced streams (same compiled decode
+    # program — the blocks pad into the identical shape). Host-side
+    # oracle is best-effort.
     size_vs_ref = None
+    ref_dec_mbs = None
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "tests"))
         import ref_oracle
         if ref_oracle.ensure_built():
-            ref_total = 0
-            for i in range(0, n, bs):
-                ref_total += len(ref_oracle.ref_compress_block(
-                    data[i: i + bs], 1))
+            ref_blocks = [ref_oracle.ref_compress_block(data[i: i + bs], 1)
+                          for i in range(0, n, bs)]
+            ref_total = sum(len(c) for c in ref_blocks)
             size_vs_ref = round(int(csizes_np.sum()) / ref_total, 4)
             _log(f"compressed size vs reference (same blocks): "
                  f"{size_vs_ref}x")
+            comp_r = np.zeros((B, comp_np.shape[1]), np.uint8)
+            rlens = np.zeros(B, np.int32)
+            for i, c in enumerate(ref_blocks):
+                comp_r[i, : len(c)] = np.frombuffer(c, np.uint8)
+                rlens[i] = len(c)
+            comp_rj = jnp.asarray(comp_r)
+            rlens_j = jnp.asarray(rlens)
+
+            def dec_ref():
+                outs = []
+                for i in range(0, B, CHUNK):
+                    o_, l_, e_ = decode_blocks(
+                        comp_rj[i: i + CHUNK], rlens_j[i: i + CHUNK],
+                        ddicts, ddlens, cap_out=bs, has_dict=False)
+                    outs.append((o_, l_, e_))
+                return outs
+
+            r0 = dec_ref()
+            sync(r0)
+            t_rd = best_of(dec_ref, r0)
+            ref_dec_mbs = round((n / 1e6) / t_rd, 1)
+            rt_r = np.concatenate(
+                [np.asarray(o) for o, _, _ in r0], axis=0).tobytes()
+            assert not any(np.asarray(e).any() for _, _, e in r0)
+            assert xxh32(rt_r) == xxh32(data), "ref-stream decode mismatch"
+            _log(f"device decode of reference streams: {ref_dec_mbs} MB/s")
     except Exception as e:            # oracle is best-effort
-        _log(f"reference size comparison skipped: {e}")
+        _log(f"reference comparison skipped: {e}")
 
     result = {
         "metric": "compress_throughput",
@@ -188,6 +216,7 @@ def main() -> None:
             "decompress_vs_baseline": round(dec_mbs / BASELINE_DECOMP_MBS, 3),
             "ratio": round(ratio, 3),
             "size_vs_ref": size_vs_ref,
+            "decode_ref_streams_MBs": ref_dec_mbs,
             "corpus": corpus_kind,
             "corpus_MB": total_mb,
             "block": bs,

@@ -43,13 +43,16 @@ DICT_CAP = 65536  # static history window capacity (64 KB)
 
 
 def sort_gather(values, idx):
-    """out[i] = values[idx[i]] as a merge-by-sort: on TPU, XLA lowers an
-    arbitrary gather to a serialized loop (~26 ms per 2M elements through
-    the relay) while two stable 3-lane sorts cost a fraction of that
-    (docs/tpu_perf_notes.md). Providers (j, values[j]) and consumers
-    (idx[i], i) merge on one sorted key with a provider-first tag bit; a
-    last-provider-value fill hands every consumer its element; a second
-    sort restores consumer order. idx must be pre-clipped to [0, N)."""
+    """out[i] = values[idx[i]] as a merge-by-sort: providers
+    (j, values[j]) and consumers (idx[i], i) merge on one sorted key
+    with a provider-first tag bit; a last-provider-value fill hands
+    every consumer its element; a second sort restores consumer order.
+    idx must be pre-clipped to [0, N).
+
+    Measured on TPU (tools/fullbench.py): ~21 ms per 32x64K pass — the
+    same cost as XLA's serialized gather, so the decode hot path uses
+    plain takes; this stays as the measured alternative and for
+    platforms where sorts beat gathers harder."""
     N = values.shape[0]
     K = idx.shape[0]
     jar = jnp.arange(N, dtype=jnp.int32)
@@ -237,26 +240,17 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
     mat_ptr = jnp.where(src_out >= 0, src_out, dict_code)
     ptr = jnp.where(is_lit, lit_ptr, jnp.where(covered, mat_ptr, -1))
 
-    # ---- resolve match chains (doubling over sort-gathers) --------------
-    # Each round composes the pointer map with itself (reach doubles).
-    # The first rounds are UNROLLED straight-line sort_gathers — on TPU
-    # two stable sorts beat one serialized HBM gather ~3x, and keeping
-    # the sorts out of loop bodies avoids the fori_loop+sort lowering
-    # hazard recorded in docs/tpu_perf_notes.md. With the analytic
-    # intra-token escape each application is a full token hop, so 4
-    # doubling rounds resolve generation depth 16; rare deeper chains
-    # (and junk graphs in malformed blocks) finish in a bounded
-    # take-based residual loop that usually runs zero iterations.
-    def round_step(p):
-        nxt = sort_gather(p, jnp.clip(p, 0, cap_out - 1))
-        return jnp.where(p >= 0, nxt, p)
-
-    for _ in range(4):
-        ptr = round_step(ptr)
-
+    # ---- resolve match chains (convergence-bounded doubling) ------------
+    # ptr <- ptr[ptr] composes the map with itself (reach doubles); with
+    # the analytic intra-token escape every application is a full token
+    # hop, so real data converges in a few rounds and all-literal blocks
+    # skip the loop entirely (cond: any unresolved pointer). A
+    # merge-by-sort gather variant was measured at ~21 ms/round on TPU —
+    # no better than the serialized take (docs/tpu_perf_notes.md), so
+    # the adaptive take-based loop stays.
     def chase_cond(state):
         ptr, rounds = state
-        return jnp.any(ptr >= 0) & (rounds < 14)
+        return jnp.any(ptr >= 0) & (rounds < 18)
 
     def chase_body(state):
         ptr, rounds = state
@@ -266,15 +260,13 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
     ptr, _ = jax.lax.while_loop(chase_cond, chase_body,
                                 (ptr, jnp.int32(0)))
 
-    # ---- materialize (same merge-by-sort trick for the byte fetch) ------
+    # ---- materialize -----------------------------------------------------
     code = -ptr - 1
     from_input = code < cap_in
-    in_bytes = sort_gather(c32, jnp.clip(code, 0, cap_in - 1)
-                           ).astype(jnp.uint8)
+    in_bytes = jnp.take(comp, jnp.clip(code, 0, cap_in - 1))
     if has_dict:
         dict_idx = jnp.clip(code - cap_in, 0, DICT_CAP - 1)
-        d_bytes = sort_gather(dict_buf.astype(jnp.int32),
-                              dict_idx).astype(jnp.uint8)
+        d_bytes = jnp.take(dict_buf, dict_idx)
         out = jnp.where(from_input, in_bytes, d_bytes)
     else:
         err = err | jnp.any((o < total_out) & ~from_input)

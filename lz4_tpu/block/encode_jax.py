@@ -98,7 +98,7 @@ def _high_zero_bytes(x):
 # ---------------------------------------------------------------------------
 
 def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
-                n_cand: int = 1, lazy: bool = False, lite: bool = False):
+                n_cand: int = 2, lazy: bool = False, lite: bool = False):
     """src: uint8[cap_n] zero-padded; n: int32 actual length.
     dict_buf: uint8[DICT_CAP] right-aligned history; dict_len: int32.
     n_cand > 1 scores that many sorted-space candidates per position and
@@ -128,44 +128,52 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
     b32 = buf.astype(jnp.uint32)
 
     # ---- stage 1: sorted-space candidates + bounded extensions ----------
+    # carried forward-context depth: real-file corpora measure best at
+    # ext cap 28 (7 words) with 2 scored candidates — reference-beating
+    # sizes where the old 3-word/1-candidate config lost 6% (the length
+    # tail of non-lockstep matches was truncated)
+    NW = 2 if lite else 7
     w = (b32
          | (_shift_left(b32, 1, 0) << 8)
          | (_shift_left(b32, 2, 0) << 16)
          | (_shift_left(b32, 3, 0) << 24))
-    w2 = _shift_left(w, 4, 0)            # gram at p+4
-    w3 = _shift_left(w, 8, 0)            # gram at p+8
+    fwd = [_shift_left(w, 4 * (j + 1), 0) for j in range(NW)]
     if lite:
         # acceleration graph (--fast on device): the fixed-cost analog
         # of the reference's skip heuristic (lz4.c:711, 1023-1053) is
-        # shedding sort payload lanes — no 12..16-byte extension words,
-        # no back-extension words. Ratio drops a little; the dominant
-        # multi-payload sort gets ~40% lighter.
-        sk, spos, sw2, sw3 = jax.lax.sort(
-            (w, idx, w2, w3), num_keys=1, is_stable=True)
-        sw4 = swb = swb2 = None
+        # shedding sort payload lanes — shallow extension words, no
+        # back-extension words. Ratio drops a little; the dominant
+        # multi-payload sort gets much lighter.
+        srt = jax.lax.sort((w, idx, *fwd), num_keys=1, is_stable=True)
+        sk, spos = srt[0], srt[1]
+        sfwd = srt[2:]
+        swb = swb2 = None
     else:
-        w4 = _shift_left(w, 12, 0)       # gram at p+12
         wb = _shift_right(w, 4, 0)       # gram at p-4 (byte p-1 in MSB)
         wb2 = _shift_right(w, 8, 0)      # gram at p-8
-        sk, spos, sw2, sw3, sw4, swb, swb2 = jax.lax.sort(
-            (w, idx, w2, w3, w4, wb, wb2), num_keys=1, is_stable=True)
+        srt = jax.lax.sort((w, idx, *fwd, wb, wb2), num_keys=1,
+                           is_stable=True)
+        sk, spos = srt[0], srt[1]
+        sfwd = srt[2: 2 + NW]
+        swb, swb2 = srt[2 + NW], srt[3 + NW]
 
     def neighbour_fields(i):
         """Match fields vs the candidate i rows back in sorted space:
-        (candidate position or -1, ext bytes 0..16 beyond the 4-gram,
+        (candidate position or -1, ext bytes 0..4*NW beyond the 4-gram,
         back-extension bytes 0..8)."""
         same_i = jnp.concatenate([jnp.zeros(i, bool), sk[i:] == sk[:-i]])
         cand_i = _shift_right(spos, i, 0)
-        x2 = sw2 ^ _shift_right(sw2, i, 0)
-        x3 = sw3 ^ _shift_right(sw3, i, 0)
+        ext_i = jnp.zeros_like(cand_i)
+        ok = same_i
+        for sw in sfwd:
+            x = sw ^ _shift_right(sw, i, 0)
+            ext_i = jnp.where(ok, ext_i + jnp.where(x == 0, 4,
+                                                    _low_zero_bytes(x)),
+                              ext_i)
+            ok = ok & (x == 0)
         if lite:
-            ext3 = jnp.where(x3 == 0, 4, _low_zero_bytes(x3))
             bk_i = jnp.zeros_like(cand_i)
         else:
-            x4 = sw4 ^ _shift_right(sw4, i, 0)
-            ext3 = jnp.where(x3 == 0, 4 + jnp.where(x4 == 0, 4,
-                                                    _low_zero_bytes(x4)),
-                             _low_zero_bytes(x3))
             xb = swb ^ _shift_right(swb, i, 0)
             xb2 = swb2 ^ _shift_right(swb2, i, 0)
             bk_i = _high_zero_bytes(xb)
@@ -179,7 +187,6 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
             # carry; cand < pos, so the candidate is the binding side.
             bk_i = jnp.minimum(bk_i, jnp.where(cand_i >= 8, 8,
                                jnp.where(cand_i >= 4, 4, 0)))
-        ext_i = jnp.where(x2 == 0, 4 + ext3, _low_zero_bytes(x2))
         # window validity is positional (lo is traced): candidates in
         # sorted space know both positions, so check distance here
         dist = spos - cand_i
@@ -391,7 +398,7 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
 @functools.partial(jax.jit, static_argnames=("cap_n", "has_dict",
                                              "n_cand", "lazy", "lite"))
 def encode_blocks(src, lens, dict_bufs, dict_lens, *, cap_n: int,
-                  has_dict: bool, n_cand: int = 1, lazy: bool = False,
+                  has_dict: bool, n_cand: int = 2, lazy: bool = False,
                   lite: bool = False):
     """Batched block encode.
 
@@ -421,7 +428,7 @@ def _pad_cap(n: int) -> int:
     return cap
 
 
-def encode_blocks_host(blocks, dict_prefixes=None, *, n_cand=1,
+def encode_blocks_host(blocks, dict_prefixes=None, *, n_cand=2,
                        lazy=False, lite=False):
     """Compress a list of raw blocks via the vectorized TPU path.
     Returns list[bytes] (raw LZ4 block streams, possibly longer than the

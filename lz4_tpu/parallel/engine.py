@@ -385,7 +385,7 @@ class TpuBackend:
                 blocks, level=level, acceleration=acceleration,
                 dict_prefixes=dict_prefixes,
                 favor_dec_speed=favor_dec_speed)
-        n_cand = self.HC_N_CAND if device_hc else 1
+        n_cand = self.HC_N_CAND if device_hc else 2
         lazy = device_hc
         # --fast=4+ selects the lighter acceleration graph (fewer sort
         # payload lanes; see encode_jax lite docstring)
