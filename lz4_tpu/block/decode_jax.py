@@ -81,15 +81,40 @@ def sort_gather(values, idx):
 def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
                 cap_out: int, has_dict: bool, partial: bool = False):
     cap_in = comp.shape[0]
+    if cap_in >= (1 << 17):
+        # the packed parse helper A carries positions in 17 bits — ample
+        # for the 64 KB tier's compress_bound; larger tiers decode on
+        # the host (engine routing)
+        raise NotImplementedError("decode graph is 64KB-tier only")
     idx = jnp.arange(cap_in, dtype=jnp.int32)
     c32 = comp.astype(jnp.int32)
     M = comp_len.astype(jnp.int32)
     dlen = dict_len.astype(jnp.int32) if has_dict else jnp.int32(0)
 
-    # structural precompute: next non-255 byte at/after p (for 255-chains)
+    # structural precomputes (all elementwise/scan — no gathers):
+    #   nn[i]  = next non-255 byte position at/after i (255-chain ends)
+    #   vnn[i] = the byte AT nn[i] (reverse last-valid fill)
+    #   A[i]   = nn[i] | vnn[i] << 17   — one take serves a whole
+    #            length-extension chain read (position + final byte)
+    #   W[i]   = c[i] | c[i+1] << 8     — one take serves the 2-byte
+    #            offset read
+    # This packs the parse step's 7 dependent 1-element gathers into 4
+    # (the serial take chain IS the parse cost, ~0.7 us each).
     nn = jax.lax.cummin(jnp.where(c32 != 255, idx, jnp.int32(cap_in)),
                         axis=0, reverse=True)
-    nn_ext = jnp.concatenate([nn, jnp.array([cap_in], jnp.int32)])
+
+    def last_valid_rt(a, b):
+        keep = b[1]
+        return (jnp.where(keep, b[0], a[0]), a[1] | b[1])
+
+    vnn, _ = jax.lax.associative_scan(
+        last_valid_rt, (c32, c32 != 255), reverse=True)
+    vnn = jnp.where(nn < cap_in, vnn, 0)
+    A = nn | (vnn << 17)
+    A_ext = jnp.concatenate(
+        [A, jnp.array([cap_in], jnp.int32)])     # sentinel: q=cap_in, cq=0
+    W = c32 | (jnp.concatenate([c32[1:], jnp.array([0], jnp.int32)]) << 8)
+    W_ext = jnp.concatenate([W, jnp.array([0], jnp.int32)])
     c_ext = jnp.concatenate([c32, jnp.array([0], jnp.int32)])
 
     def rd(arr, i):
@@ -103,8 +128,9 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
         done = p >= M
         tok = rd(c_ext, p)
         litnib = tok >> 4
-        q = rd(nn_ext, p + 1)
-        extlit = 255 * (q - (p + 1)) + rd(c_ext, q)
+        a1 = rd(A_ext, p + 1)
+        q = a1 & 0x1FFFF
+        extlit = 255 * (q - (p + 1)) + (a1 >> 17)
         litlen = jnp.where(litnib == 15, litnib + extlit, litnib)
         lit_start = jnp.where(litnib == 15, q + 1, p + 1)
         if partial:
@@ -114,11 +140,12 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
             litlen = jnp.minimum(litlen, jnp.maximum(M - lit_start, 0))
         lit_end = lit_start + litlen
         is_last = lit_end >= M
-        offset = rd(c_ext, lit_end) | (rd(c_ext, lit_end + 1) << 8)
+        offset = rd(W_ext, lit_end) & 0xFFFF
         matnib = tok & 15
         mo = lit_end + 2
-        q2 = rd(nn_ext, mo)
-        extmat = 255 * (q2 - mo) + rd(c_ext, q2)
+        a2 = rd(A_ext, mo)
+        q2 = a2 & 0x1FFFF
+        extmat = 255 * (q2 - mo) + (a2 >> 17)
         mlen = MINMATCH + jnp.where(matnib == 15, matnib + extmat, matnib)
         next_p = jnp.where(matnib == 15, q2 + 1, mo)
         if partial:
@@ -179,6 +206,56 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
         # output-side parsing restriction (lz4.c:2279): no match may
         # begin within MFLIMIT of the caller's output capacity
         err = err | jnp.any(has_m & (match_dst > oc - 12))
+
+    # ---- token-level offset composition (3 unrolled rounds) -------------
+    # The LINEAR part of the match dependency graph: when token t's whole
+    # source interval [match_dst - OFF, .. + mlen) sits inside token u's
+    # match region, t's map is a pure shift and composes: OFF_t += OFF_u.
+    # Composed offsets double reach per round (u's OFF is the previous
+    # round's), collapsing cross-token generations before the byte-level
+    # chase; overlapping matches (mlen > off) never satisfy containment,
+    # so the per-byte intra-token escape stays exact for them. This is
+    # the round-1 composition experiment re-done as straight-line graph
+    # code (the fori_loop-around-sorts lowering hazard is avoided) at
+    # token granularity (T rows, ~30x smaller than byte rows).
+    # Cited scheme: segment-level dependency resolution, arXiv:1606.00519.
+    Tn = litlens.shape[0]
+    BIGT = jnp.int32(4 * cap_out + 8)
+    tactive = contrib > 0
+    OFF = offs
+    m0_t = match_dst
+    for _comp_round in range(3):
+        src_lo = m0_t - OFF
+        src_hi = src_lo + mlens
+        qkey = jnp.where(has_m & (src_lo >= 0), src_lo, BIGT)
+        pkey = jnp.where(tactive, dst_start, BIGT)
+        mk = jnp.concatenate([jnp.minimum(pkey, BIGT) * 2, qkey * 2 + 1])
+        neg = jnp.full(Tn, -1, jnp.int32)
+        g_m0 = jnp.concatenate([jnp.where(tactive, m0_t, -1), neg])
+        g_ml = jnp.concatenate([mlens, jnp.zeros(Tn, jnp.int32)])
+        g_of = jnp.concatenate([OFF, jnp.zeros(Tn, jnp.int32)])
+        smk_c, s_m0, s_ml, s_of = jax.lax.sort(
+            (mk, g_m0, g_ml, g_of), num_keys=1, is_stable=True)
+
+        def last_tok(a, b):
+            keep = b[0] >= 0
+            return tuple(jnp.where(keep, y, x) for x, y in zip(a, b))
+
+        p_m0, p_ml, p_of = jax.lax.associative_scan(
+            last_tok, (s_m0, s_ml, s_of))
+        is_q = (smk_c & 1) == 1
+        qrank = jnp.cumsum(is_q.astype(jnp.int32)) - 1
+        qk2 = jnp.where(is_q, qrank, BIGT)
+        _, u_m0, u_ml, u_of = jax.lax.sort(
+            (qk2, p_m0, p_ml, p_of), num_keys=1, is_stable=True)
+        u_m0 = u_m0[:Tn]
+        u_ml = u_ml[:Tn]
+        u_of = u_of[:Tn]
+        contained = (has_m & (src_lo >= 0) & (u_m0 >= 0)
+                     & (src_lo >= u_m0) & (src_hi <= u_m0 + u_ml)
+                     & (u_of > 0))
+        OFF = jnp.where(contained, OFF + u_of, OFF)
+    offs = OFF
 
     # ---- merge-by-sort: route token fields to output bytes --------------
     o = jnp.arange(cap_out, dtype=jnp.int32)
