@@ -75,55 +75,74 @@ def sort_gather(values, idx):
 
 
 # ---------------------------------------------------------------------------
-# single-block decode (vmapped over a batch by decode_blocks)
+# batched sequence parse (explicitly batched — NOT vmapped — so the
+# chunked early-exit loop below keeps scalar chunk indices)
 # ---------------------------------------------------------------------------
 
-def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
-                cap_out: int, has_dict: bool, partial: bool = False):
-    cap_in = comp.shape[0]
-    if cap_in >= (1 << 17):
-        # the packed parse helper A carries positions in 17 bits — ample
-        # for the 64 KB tier's compress_bound; larger tiers decode on
-        # the host (engine routing)
-        raise NotImplementedError("decode graph is 64KB-tier only")
+#: parse-scan chunk: the serial cursor walk runs in chunks of this many
+#: sequences under an early-exit while_loop. Real-data token counts are
+#: 2-4x below the worst-case bound T = cap_in/3, so most chunks never
+#: execute. The batch dimension lives INSIDE the loop carry: the chunk
+#: index stays a scalar, the per-chunk dynamic_update_slice is an
+#: in-place update of a loop-carried buffer — unlike the per-step
+#: batched-DUS variant that measured 16x slower (docs/tpu_perf_notes.md).
+PARSE_CHUNK = 1024
+
+
+def _parse_tokens(comp, comp_lens, *, cap_out: int, partial: bool):
+    """Walk every block's sequence stream (the only irreducibly serial
+    part of decode; reference byte-serial analog: the main decode loop of
+    lz4.c:2022-2445). comp: uint8[B, cap_in]; returns per-token records
+    (lit_starts, litlens, offs, mlens) int32[B, T] plus err/seen_last
+    bool[B].
+
+    Structural precomputes (all elementwise/scan — no gathers):
+      nn[i]  = next non-255 byte position at/after i (255-chain ends)
+      vnn[i] = the byte AT nn[i] (reverse last-valid fill)
+      A[i]   = nn[i] | vnn[i] << 17   — one take serves a whole
+               length-extension chain read (position + final byte)
+      W[i]   = c[i] | c[i+1] << 8     — one take serves the 2-byte
+               offset read
+    This packs the parse step's 7 dependent 1-element gathers into 4
+    (the serial take chain IS the parse cost, ~0.7 us each).
+    """
+    B, cap_in = comp.shape
     idx = jnp.arange(cap_in, dtype=jnp.int32)
     c32 = comp.astype(jnp.int32)
-    M = comp_len.astype(jnp.int32)
-    dlen = dict_len.astype(jnp.int32) if has_dict else jnp.int32(0)
+    M = comp_lens.astype(jnp.int32)
 
-    # structural precomputes (all elementwise/scan — no gathers):
-    #   nn[i]  = next non-255 byte position at/after i (255-chain ends)
-    #   vnn[i] = the byte AT nn[i] (reverse last-valid fill)
-    #   A[i]   = nn[i] | vnn[i] << 17   — one take serves a whole
-    #            length-extension chain read (position + final byte)
-    #   W[i]   = c[i] | c[i+1] << 8     — one take serves the 2-byte
-    #            offset read
-    # This packs the parse step's 7 dependent 1-element gathers into 4
-    # (the serial take chain IS the parse cost, ~0.7 us each).
-    nn = jax.lax.cummin(jnp.where(c32 != 255, idx, jnp.int32(cap_in)),
-                        axis=0, reverse=True)
+    nn = jax.lax.cummin(
+        jnp.where(c32 != 255, idx[None, :], jnp.int32(cap_in)),
+        axis=1, reverse=True)
 
     def last_valid_rt(a, b):
         keep = b[1]
         return (jnp.where(keep, b[0], a[0]), a[1] | b[1])
 
     vnn, _ = jax.lax.associative_scan(
-        last_valid_rt, (c32, c32 != 255), reverse=True)
+        last_valid_rt, (c32, c32 != 255), reverse=True, axis=1)
     vnn = jnp.where(nn < cap_in, vnn, 0)
     A = nn | (vnn << 17)
-    A_ext = jnp.concatenate(
-        [A, jnp.array([cap_in], jnp.int32)])     # sentinel: q=cap_in, cq=0
-    W = c32 | (jnp.concatenate([c32[1:], jnp.array([0], jnp.int32)]) << 8)
-    W_ext = jnp.concatenate([W, jnp.array([0], jnp.int32)])
-    c_ext = jnp.concatenate([c32, jnp.array([0], jnp.int32)])
+
+    def pad_col(arr, v):
+        return jnp.concatenate(
+            [arr, jnp.full((B, 1), v, jnp.int32)], axis=1)
+
+    A_ext = pad_col(A, cap_in)               # sentinel: q=cap_in, cq=0
+    W = c32 | (jnp.concatenate(
+        [c32[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1) << 8)
+    W_ext = pad_col(W, 0)
+    c_ext = pad_col(c32, 0)
 
     def rd(arr, i):
-        return jnp.take(arr, jnp.clip(i, 0, arr.shape[0] - 1))
+        return jnp.take_along_axis(
+            arr, jnp.clip(i, 0, arr.shape[1] - 1)[:, None], axis=1)[:, 0]
 
     T = cap_in // 3 + 2          # every sequence but the last is >=3 bytes
 
     def parse_one(carry):
-        """One sequence parse step; returns (carry', record 4-tuple)."""
+        """One sequence parse step for all B blocks; returns
+        (carry', record 4-tuple of int32[B])."""
         p, err, seen_last = carry
         done = p >= M
         tok = rd(c_ext, p)
@@ -172,16 +191,51 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap, *,
         p_next = jnp.where(done | bad | is_last, jnp.int32(cap_in), next_p)
         return (p_next, err, seen_last), rec
 
-    # sequence walk as a lax.scan: records ride the scan's ys outputs
-    # (constant-cost per step; a while_loop record-buffer carry measured
-    # 16x slower on TPU — batched DUS copies the carry every step)
-    def parse(carry, _):
+    # chunked early-exit walk: inner lax.scan records PARSE_CHUNK steps
+    # via its ys outputs (the only efficient recorder); the outer
+    # while_loop stops as soon as every block's cursor is exhausted.
+    CH = PARSE_CHUNK
+    n_chunks = -(-T // CH)
+    Tpad = n_chunks * CH
+
+    def step(carry, _):
         carry, rec = parse_one(carry)
         return carry, rec
 
-    (pf, err, seen_last), (lit_starts, litlens, offs, mlens) = jax.lax.scan(
-        parse, (jnp.int32(0), jnp.bool_(False), jnp.bool_(False)), None,
-        length=T)
+    def cond(state):
+        (p, _, _), _, k = state
+        return jnp.any(p < M) & (k < n_chunks)
+
+    def body(state):
+        carry, bufs, k = state
+        carry, recs = jax.lax.scan(step, carry, None, length=CH)
+        bufs = tuple(
+            jax.lax.dynamic_update_slice(b, r, (k * CH, 0))
+            for b, r in zip(bufs, recs))
+        return carry, bufs, k + 1
+
+    # the 0*M / (M<0) terms tie the initial carries to the (possibly
+    # sharded) inputs so their varying-axes types match the loop outputs
+    # under shard_map (XLA folds them away otherwise)
+    carry0 = (0 * M, M < jnp.int32(-1), M < jnp.int32(-1))
+    bufs0 = tuple(jnp.zeros((Tpad, B), jnp.int32) + 0 * M[None, :]
+                  for _ in range(4))
+    (pf, err, seen_last), bufs, _ = jax.lax.while_loop(
+        cond, body, (carry0, bufs0, jnp.int32(0)))
+    lit_starts, litlens, offs, mlens = (b[:T].T for b in bufs)
+    return (lit_starts, litlens, offs, mlens), err, seen_last
+
+
+# ---------------------------------------------------------------------------
+# single-block decode (vmapped over a batch by decode_blocks); consumes
+# the batched parse's per-token records
+# ---------------------------------------------------------------------------
+
+def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap,
+                lit_starts, litlens, offs, mlens, err, seen_last, *,
+                cap_out: int, has_dict: bool, partial: bool = False):
+    cap_in = comp.shape[0]
+    dlen = dict_len.astype(jnp.int32) if has_dict else jnp.int32(0)
     if not partial:
         err = err | ~seen_last      # truncated / endless stream
 
@@ -367,11 +421,19 @@ def decode_blocks(comp, comp_lens, dict_bufs, dict_lens, out_caps=None, *,
                lz4.c:2279); defaults to cap_out everywhere
     returns (out uint8[B, cap_out], out_lens int32[B], errs int32[B])
     """
-    fn = functools.partial(_decode_one, cap_out=cap_out, has_dict=has_dict,
-                           partial=partial)
+    if comp.shape[1] >= (1 << 17):
+        # the packed parse helper A carries positions in 17 bits — ample
+        # for the 64 KB tier's compress_bound; larger tiers decode on
+        # the host (engine routing)
+        raise NotImplementedError("decode graph is 64KB-tier only")
     if out_caps is None:
         out_caps = jnp.full(comp.shape[0], cap_out, jnp.int32)
-    return jax.vmap(fn)(comp, comp_lens, dict_bufs, dict_lens, out_caps)
+    recs, err, seen_last = _parse_tokens(comp, comp_lens, cap_out=cap_out,
+                                         partial=partial)
+    fn = functools.partial(_decode_one, cap_out=cap_out, has_dict=has_dict,
+                           partial=partial)
+    return jax.vmap(fn)(comp, comp_lens, dict_bufs, dict_lens, out_caps,
+                        *recs, err, seen_last)
 
 
 # ---------------------------------------------------------------------------

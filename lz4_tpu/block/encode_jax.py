@@ -97,24 +97,18 @@ def _high_zero_bytes(x):
 # single-block encode (vmapped over a batch by encode_blocks)
 # ---------------------------------------------------------------------------
 
-def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
-                n_cand: int = 2, lazy: bool = False, lite: bool = False):
-    """src: uint8[cap_n] zero-padded; n: int32 actual length.
+def _match_tables(src, n, dict_buf, dict_len, *, cap_n: int,
+                  has_dict: bool, n_cand: int = 2, lazy: bool = False,
+                  lite: bool = False):
+    """Stages 1-2 for one block: sorted-space match discovery, candidate
+    scoring, chain-run extension, lazy arbitration, and the parse-scan
+    lookup tables. src: uint8[cap_n] zero-padded; n: int32 actual length.
     dict_buf: uint8[DICT_CAP] right-aligned history; dict_len: int32.
     n_cand > 1 scores that many sorted-space candidates per position and
     lazy enables one-step-chained lazy arbitration — together these form
     the device HC tier (the batched-candidate analog of the reference's
     nbSearches ladder + lazy parse, lz4hc.c:92-106, 1157-1310).
-    Returns (out uint8[cap_out], csize int32)."""
-    if cap_n > 65536:
-        # emission packs M4 into 16 bits and L/el into 18/14 — exactly
-        # the 64 KB tier's ranges. Larger tiers must use the segmented
-        # big-block path (engine-level), never this graph: a long match
-        # would silently wrap the packed fields into well-formed-looking
-        # corrupt output (ADVICE r1, medium).
-        raise NotImplementedError(
-            "device encode graph is 64KB-tier only; larger tiers are "
-            "segmented at the engine level")
+    Returns (nm_ext, packed_ext, off_ext) int32[N+1]."""
     d0 = DICT_CAP if has_dict else 0
     buf = jnp.concatenate([dict_buf, src]) if has_dict else src
     N = buf.shape[0]
@@ -235,12 +229,11 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
         demote = is_match & match_next & (ml_next > ml)
         is_match = is_match & ~demote
 
-    # ---- stage 3: token-hop parse scan ----------------------------------
+    # ---- parse-scan lookup tables ---------------------------------------
     # next match position at/after p (literal runs are skipped in O(1))
     nm = jax.lax.cummin(jnp.where(is_match, idx, jnp.int32(N)), axis=0,
                         reverse=True)
     nm_ext = jnp.concatenate([nm, jnp.array([N], jnp.int32)])
-    ml_ext = jnp.concatenate([ml, jnp.array([0], jnp.int32)])
     off = jnp.where(valid, idx - cand, 0)
     # clamp back-extension by window start (anchor clamp happens later)
     bk4 = jnp.minimum(bk4, jnp.maximum(cand - lo, 0))
@@ -248,23 +241,82 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
               | jnp.int32(0))            # ml:18 bits, bk:4 bits
     packed_ext = jnp.concatenate([packed, jnp.array([0], jnp.int32)])
     off_ext = jnp.concatenate([off, jnp.array([0], jnp.int32)])
+    return nm_ext, packed_ext, off_ext
 
-    # token-hop walk as a lax.scan: records ride the scan's ys outputs
-    # (constant-cost per step). A while_loop with a record-buffer carry
-    # was tried for early exit and measured 16x SLOWER on TPU — the
-    # batched dynamic_update_slice forces a buffer copy every step
-    # (docs/tpu_perf_notes.md). Worst-case T steps, ~0.7us per dependent
-    # 1-element gather.
+
+# ---------------------------------------------------------------------------
+# stage 3: batched token-hop parse (explicitly batched — NOT vmapped —
+# so the chunked early-exit loop keeps scalar chunk indices; see
+# decode_jax._parse_tokens for the pattern rationale)
+# ---------------------------------------------------------------------------
+
+#: parse-scan chunk size (see decode_jax.PARSE_CHUNK)
+PARSE_CHUNK = 1024
+
+
+def _parse_hops(nm_ext, packed_ext, *, d0: int, cap_n: int):
+    """The greedy token-hop walk for all B blocks: literal runs are
+    skipped via the next-match table, so the cursor only stops at
+    matches (~0.7us per dependent take, independent of batch width).
+    Chunked under an early-exit while_loop: real-data match counts are
+    well below the worst-case bound T = cap_n/4, and the batch lives
+    inside the loop carry so the per-chunk record write is an in-place
+    dynamic_update_slice (the per-step batched-DUS variant measured 16x
+    slower — docs/tpu_perf_notes.md).
+    nm_ext/packed_ext: int32[B, N+1]. Returns tokpos int32[B, T]."""
+    B, N1 = nm_ext.shape
+    N = N1 - 1
     T = cap_n // MINMATCH + 2            # max #matches per block
+    CH = PARSE_CHUNK
+    n_chunks = -(-T // CH)
+    Tpad = n_chunks * CH
 
-    cur0 = nm_ext[d0]
+    def rd(arr, i):
+        return jnp.take_along_axis(
+            arr, jnp.clip(i, 0, N)[:, None], axis=1)[:, 0]
 
     def hop(cur, _):
-        step = jnp.take(packed_ext, cur) & ((1 << 18) - 1)   # ml at cur
-        nxt = jnp.take(nm_ext, jnp.minimum(cur + step, N))
+        step = rd(packed_ext, cur) & ((1 << 18) - 1)   # ml at cur
+        nxt = rd(nm_ext, jnp.minimum(cur + step, N))
         return nxt, cur
 
-    _, tokpos = jax.lax.scan(hop, cur0, None, length=T)
+    def cond(state):
+        cur, _, k = state
+        return jnp.any(cur < N) & (k < n_chunks)
+
+    def body(state):
+        cur, buf, k = state
+        cur, recs = jax.lax.scan(hop, cur, None, length=CH)
+        buf = jax.lax.dynamic_update_slice(buf, recs, (k * CH, 0))
+        return cur, buf, k + 1
+
+    cur0 = nm_ext[:, d0]
+    # unwritten rows must read as "no token": initialize to N. The
+    # 0*cur0 term ties the initial carry to the (possibly sharded)
+    # inputs so its varying-axes type matches the loop output under
+    # shard_map (XLA folds it away otherwise).
+    buf0 = jnp.full((Tpad, B), N, jnp.int32) + 0 * cur0[None, :]
+    _, buf, _ = jax.lax.while_loop(cond, body,
+                                   (cur0, buf0, jnp.int32(0)))
+    return buf[:T].T
+
+
+# ---------------------------------------------------------------------------
+# stages 4-5 (vmapped): per-token fields + emission
+# ---------------------------------------------------------------------------
+
+def _emit_one(src, n, dict_buf, dict_len, tokpos, packed_ext, off_ext, *,
+              cap_n: int, has_dict: bool):
+    """Emission for one block given its parsed token positions.
+    Returns (out uint8[cap_out], csize int32, trailing int32)."""
+    d0 = DICT_CAP if has_dict else 0
+    buf = jnp.concatenate([dict_buf, src]) if has_dict else src
+    N = buf.shape[0]
+    cap_out = compress_bound(cap_n)
+    n = n.astype(jnp.int32)
+    end = jnp.int32(d0) + n              # one past last source byte
+    idx = jnp.arange(N, dtype=jnp.int32)
+    b32 = buf.astype(jnp.uint32)
     tmask = tokpos < N
 
     # ---- stage 4: per-token fields (2 batched gathers + elementwise) ----
@@ -311,7 +363,6 @@ def _encode_one(src, n, dict_buf, dict_len, *, cap_n: int, has_dict: bool,
                               jnp.array([0], jnp.int32)])
     sbase = jnp.concatenate([base, fanchor[None]])
 
-    nseq = T + 1
     # merged rows: sequences (tag 0) then bytes (tag 1); equal output
     # offset sorts the sequence row first
     mkey = jnp.concatenate([
@@ -411,9 +462,24 @@ def encode_blocks(src, lens, dict_bufs, dict_lens, *, cap_n: int,
     returns (out uint8[B, compress_bound(cap_n)], csizes int32[B],
              trailing int32[B] — final literal-run length per block)
     """
-    fn = functools.partial(_encode_one, cap_n=cap_n, has_dict=has_dict,
+    if cap_n > 65536:
+        # emission packs M4 into 16 bits and L/el into 18/14 — exactly
+        # the 64 KB tier's ranges. Larger tiers must use the segmented
+        # big-block path (engine-level), never this graph: a long match
+        # would silently wrap the packed fields into well-formed-looking
+        # corrupt output (ADVICE r1, medium).
+        raise NotImplementedError(
+            "device encode graph is 64KB-tier only; larger tiers are "
+            "segmented at the engine level")
+    mt = functools.partial(_match_tables, cap_n=cap_n, has_dict=has_dict,
                            n_cand=n_cand, lazy=lazy, lite=lite)
-    return jax.vmap(fn)(src, lens, dict_bufs, dict_lens)
+    nm_ext, packed_ext, off_ext = jax.vmap(mt)(src, lens, dict_bufs,
+                                               dict_lens)
+    d0 = DICT_CAP if has_dict else 0
+    tokpos = _parse_hops(nm_ext, packed_ext, d0=d0, cap_n=cap_n)
+    em = functools.partial(_emit_one, cap_n=cap_n, has_dict=has_dict)
+    return jax.vmap(em)(src, lens, dict_bufs, dict_lens, tokpos,
+                        packed_ext, off_ext)
 
 
 # ---------------------------------------------------------------------------
