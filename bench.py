@@ -72,7 +72,15 @@ def main() -> None:
     # chunk of 32: compile time through the remote relay grows steeply
     # with the batch dimension; 32 is the precompiled sweet spot
     CHUNK = min(B, int(os.environ.get("LZ4_TPU_BENCH_CHUNK", "32")))
-    B = B - B % CHUNK
+    # scan mode: lax.map groups of SCAN_TILE chunks inside one jitted
+    # program — one relay dispatch (~27 ms) per 16 MB group instead of
+    # per 2 MB chunk. The (SCAN_TILE, CHUNK, bs) shape is fixed so the
+    # compiled-shape set stays corpus-size-independent.
+    use_scan = os.environ.get("LZ4_TPU_BENCH_SCAN", "1") != "0"
+    SCAN_TILE = int(os.environ.get("LZ4_TPU_BENCH_SCAN_TILE", "8"))
+    use_scan = use_scan and B >= CHUNK * SCAN_TILE
+    group = CHUNK * SCAN_TILE if use_scan else CHUNK
+    B = B - B % group
     n = B * bs
     data = data[:n]
     src = jnp.asarray(np.frombuffer(data, np.uint8).reshape(B, bs))
@@ -80,12 +88,23 @@ def main() -> None:
     dict_bufs = jnp.zeros((CHUNK, DICT_CAP), jnp.uint8)
     dict_lens = jnp.zeros(CHUNK, jnp.int32)
 
+    if use_scan:
+        from lz4_tpu.block.corpus import decode_corpus, encode_corpus
+
     def enc():
         outs, sizes = [], []
-        for i in range(0, B, CHUNK):
-            out, csizes, _ = encode_blocks(
-                src[i: i + CHUNK], lens[i: i + CHUNK], dict_bufs,
-                dict_lens, cap_n=bs, has_dict=False)
+        for i in range(0, B, group):
+            if use_scan:
+                out3, cs3, _ = encode_corpus(
+                    src[i: i + group].reshape(SCAN_TILE, CHUNK, bs),
+                    lens[i: i + group].reshape(SCAN_TILE, CHUNK),
+                    dict_bufs, dict_lens, cap_n=bs, has_dict=False)
+                out = out3.reshape(group, -1)
+                csizes = cs3.reshape(group)
+            else:
+                out, csizes, _ = encode_blocks(
+                    src[i: i + group], lens[i: i + group], dict_bufs,
+                    dict_lens, cap_n=bs, has_dict=False)
             outs.append(out)
             sizes.append(csizes)
         return outs[-1], jnp.concatenate(sizes), outs
@@ -136,16 +155,29 @@ def main() -> None:
     ddicts = jnp.zeros((CHUNK, DEC_DICT_CAP), jnp.uint8)
     ddlens = jnp.zeros(CHUNK, jnp.int32)
 
-    def dec():
+    cap_in = comp_np.shape[1]
+
+    def dec_any(cj, lj):
         outs, lens_o, errs_o = [], [], []
-        for i in range(0, B, CHUNK):
-            o_, l_, e_ = decode_blocks(
-                comp_j[i: i + CHUNK], clens[i: i + CHUNK], ddicts, ddlens,
-                cap_out=bs, has_dict=False)
+        for i in range(0, B, group):
+            if use_scan:
+                o3, l3, e3 = decode_corpus(
+                    cj[i: i + group].reshape(SCAN_TILE, CHUNK, cap_in),
+                    lj[i: i + group].reshape(SCAN_TILE, CHUNK),
+                    ddicts, ddlens, cap_out=bs, has_dict=False)
+                o_, l_, e_ = (o3.reshape(group, -1), l3.reshape(group),
+                              e3.reshape(group))
+            else:
+                o_, l_, e_ = decode_blocks(
+                    cj[i: i + group], lj[i: i + group], ddicts, ddlens,
+                    cap_out=bs, has_dict=False)
             outs.append(o_)
             lens_o.append(l_)
             errs_o.append(e_)
         return outs, jnp.concatenate(lens_o), jnp.concatenate(errs_o)
+
+    def dec():
+        return dec_any(comp_j, clens)
 
     _log("compiling decode...")
     douts, dlens_o, errs = dec()
@@ -186,21 +218,15 @@ def main() -> None:
             rlens_j = jnp.asarray(rlens)
 
             def dec_ref():
-                outs = []
-                for i in range(0, B, CHUNK):
-                    o_, l_, e_ = decode_blocks(
-                        comp_rj[i: i + CHUNK], rlens_j[i: i + CHUNK],
-                        ddicts, ddlens, cap_out=bs, has_dict=False)
-                    outs.append((o_, l_, e_))
-                return outs
+                return dec_any(comp_rj, rlens_j)
 
             r0 = dec_ref()
             sync(r0)
             t_rd = best_of(dec_ref, r0)
             ref_dec_mbs = round((n / 1e6) / t_rd, 1)
             rt_r = np.concatenate(
-                [np.asarray(o) for o, _, _ in r0], axis=0).tobytes()
-            assert not any(np.asarray(e).any() for _, _, e in r0)
+                [np.asarray(o) for o in r0[0]], axis=0).tobytes()
+            assert not np.asarray(r0[2]).any()
             assert xxh32(rt_r) == xxh32(data), "ref-stream decode mismatch"
             _log(f"device decode of reference streams: {ref_dec_mbs} MB/s")
     except Exception as e:            # oracle is best-effort

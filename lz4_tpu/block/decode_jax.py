@@ -350,7 +350,14 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap,
     covered = (o < total_out) & (key_o >= 0)
     t = o - key_o
     is_lit = covered & (t < ll_o)
-    lit_ptr = -(jnp.clip(ls_o + t, 0, cap_in - 1)) - 1
+    # terminal-byte coordinate space: the chase domain is extended past
+    # the output region with byte TERMINALS — comp bytes at
+    # [cap_out, cap_out+cap_in) and dict bytes after them — whose stored
+    # value is the negative encoding -(byte+1). The final byte fetch
+    # (previously a separate full-width gather) is thereby folded into
+    # the chase's doubling rounds: a pointer that lands on a terminal
+    # picks up the byte value itself.
+    lit_ptr = cap_out + jnp.clip(ls_o + t, 0, cap_in - 1)
     # analytic intra-token escape (segment-level match resolution): a
     # match byte's source chain within its OWN token (offset < match
     # length: RLE / periodic copies) is an arithmetic progression, so
@@ -367,42 +374,52 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap,
     d_off = jnp.maximum(off_o, 1)
     k_in = (o - m0) // d_off + 1      # steps to leave own token (>=1)
     src_out = o - k_in * d_off        # output coordinate (may be < 0)
-    dict_code = -(cap_in + DICT_CAP + src_out) - 1  # src_out in [-DICT_CAP,0)
-    mat_ptr = jnp.where(src_out >= 0, src_out, dict_code)
-    ptr = jnp.where(is_lit, lit_ptr, jnp.where(covered, mat_ptr, -1))
+    if has_dict:
+        # src_out in [-DICT_CAP, 0) maps onto the dict terminal region
+        dict_ptr = cap_out + cap_in + jnp.clip(
+            DICT_CAP + src_out, 0, DICT_CAP - 1)
+        mat_ptr = jnp.where(src_out >= 0, src_out, dict_ptr)
+    else:
+        # window underruns are already flagged by the token-level offset
+        # checks above; park them on a terminal so the chase converges
+        err = err | jnp.any(covered & ~is_lit & (src_out < 0))
+        mat_ptr = jnp.maximum(src_out, 0)
+    ptr = jnp.where(is_lit, lit_ptr, jnp.where(covered, mat_ptr,
+                                               jnp.int32(-1)))
+
+    # terminal value lanes: -(byte+1), always negative
+    comp_term = -(comp.astype(jnp.int32)) - 1
+    if has_dict:
+        dict_term = -(dict_buf.astype(jnp.int32)) - 1
+        terms = jnp.concatenate([comp_term, dict_term])
+    else:
+        terms = comp_term
+    dom = cap_out + terms.shape[0]
 
     # ---- resolve match chains (convergence-bounded doubling) ------------
-    # ptr <- ptr[ptr] composes the map with itself (reach doubles); with
-    # the analytic intra-token escape every application is a full token
-    # hop, so real data converges in a few rounds and all-literal blocks
-    # skip the loop entirely (cond: any unresolved pointer). A
-    # merge-by-sort gather variant was measured at ~21 ms/round on TPU —
-    # no better than the serialized take (docs/tpu_perf_notes.md), so
-    # the adaptive take-based loop stays.
+    # ptr <- X[ptr] over X = [current ptrs | byte terminals] composes the
+    # map with itself (reach doubles); with the analytic intra-token
+    # escape every application is a full token hop, so real data
+    # converges in a few rounds. A merge-by-sort gather variant was
+    # measured at ~21 ms/round on TPU — no better than the serialized
+    # take (docs/tpu_perf_notes.md), so the adaptive take-based loop
+    # stays.
     def chase_cond(state):
         ptr, rounds = state
-        return jnp.any(ptr >= 0) & (rounds < 18)
+        return jnp.any(ptr >= 0) & (rounds < 19)
 
     def chase_body(state):
         ptr, rounds = state
-        nxt = jnp.take(ptr, jnp.clip(ptr, 0, cap_out - 1))
+        x = jnp.concatenate([ptr, terms])
+        nxt = jnp.take(x, jnp.clip(ptr, 0, dom - 1))
         return jnp.where(ptr >= 0, nxt, ptr), rounds + 1
 
     ptr, _ = jax.lax.while_loop(chase_cond, chase_body,
                                 (ptr, jnp.int32(0)))
 
-    # ---- materialize -----------------------------------------------------
-    code = -ptr - 1
-    from_input = code < cap_in
-    in_bytes = jnp.take(comp, jnp.clip(code, 0, cap_in - 1))
-    if has_dict:
-        dict_idx = jnp.clip(code - cap_in, 0, DICT_CAP - 1)
-        d_bytes = jnp.take(dict_buf, dict_idx)
-        out = jnp.where(from_input, in_bytes, d_bytes)
-    else:
-        err = err | jnp.any((o < total_out) & ~from_input)
-        out = in_bytes
-    out = jnp.where(o < total_out, out, jnp.uint8(0))
+    # ---- materialize (terminal decode only — the byte rode the chase) ---
+    out = jnp.where(o < total_out, (-ptr - 1).astype(jnp.uint8),
+                    jnp.uint8(0))
     return out, total_out, err.astype(jnp.int32)
 
 
