@@ -30,7 +30,6 @@ from dataclasses import dataclass, field
 
 from lz4_tpu.constants import (
     BLOCK_SIZES,
-    DEFAULT_BLOCK_SIZE_ID,
     LEGACY_MAGIC,
     LZ4_DISTANCE_MAX,
     LZ4F_MAGIC,
@@ -55,7 +54,11 @@ class IoPrefs:
     overwrite: bool = True
     pass_through: bool = False
     test_mode: bool = False
-    block_size_id: int = DEFAULT_BLOCK_SIZE_ID
+    # the CLI/IO default is 4 MB blocks (LZ4_BLOCKSIZEID_DEFAULT=7,
+    # lz4conf.h:68) — NOT the frame library's 64 KB default; with 64 KB
+    # independent blocks a multi-MB file compresses ~10% worse than the
+    # reference CLI's defaults
+    block_size_id: int = 7
     block_checksum: bool = False
     stream_checksum: bool = True
     block_independence: bool = True

@@ -94,6 +94,12 @@ static size_t hc_search(hc_tables *t, const uint8_t *base, long p,
     while (c != NOPOS && (long)c >= lowest && tries-- > 0) {
         long off = p - (long)c;
         if (off > WINDOW) break;
+        /* can-beat pre-check: a candidate must match the byte at the
+         * current best length to possibly exceed it (skips the full
+         * extension for almost every losing candidate) */
+        if (best >= MINMATCH && base + p + best < limit &&
+            base[c + best] != base[p + best])
+            goto next_cand;
         if (!(favor && off < 8) && read32(base + c) == read32(base + p)) {
             size_t ml = MINMATCH + mlen_fwd(base + p + MINMATCH,
                                             base + c + MINMATCH, limit);
@@ -104,6 +110,7 @@ static size_t hc_search(hc_tables *t, const uint8_t *base, long p,
                  * lz4hc.c:811-1059) */
                 if (base + p + ml >= limit) break; }
         }
+    next_cand:
         c = t->chain[c & ((1 << 17) - 1)];
         if (c != NOPOS && (long)c >= p) break;   /* stale ring entry */
     }
@@ -225,10 +232,10 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
                          uint8_t *dst, long dst_cap, long dict_len,
                          int level, int favor) {
     const uint8_t *base = src - dict_len;
-    static const int kDepth[13] = {8, 8, 8, 16, 32, 64, 96, 128, 192, 256,
-                                   384, 2048, 16384};
+    static const int kDepth[13] = {8, 8, 8, 16, 32, 64, 96, 128, 256, 384,
+                                   512, 4096, 16384};
     int depth = kDepth[level < 0 ? 0 : (level > 12 ? 12 : level)];
-    long suff = level <= 10 ? 1 << 20 : 4096;
+    long suff = level == 12 ? 4096 : 1 << 20;
     int32_t *price, *from, *mlen, *moff, *litrun;
     uint8_t *op = dst, *oend = dst + dst_cap;
     const uint8_t *anchor = src;
@@ -238,6 +245,11 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
      * not re-searched — turns O(run^2) RLE scans into O(run) */
     const long ACCEPT_LEN = 1024;
     long skip_until = 0;
+    /* carried match: position i inherits (c+1, best-1) from position
+     * i-1's search result — a valid match with the same offset — so the
+     * can-beat pre-check prunes the chain walk from the first candidate
+     * instead of warming up from 0 */
+    long carry_pos = -2, carry_best = 0, carry_mpos = -1;
 
     if (n == 0) { if (dst_cap < 1) return 0; *dst = 0; return 1; }
 
@@ -254,7 +266,10 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
     for (i = 0; i + MINMATCH <= dict_len; i++)
         hc_insert(t, base, i);
 
-    for (s = 0; s < n; s += OPT_CHUNK) {
+    long inserted_until = 0;   /* re-parsed positions are not re-inserted
+                                * (a duplicate entry would self-loop the
+                                * chain ring) */
+    for (s = 0; s < n; /* advanced at the commit point below */) {
         long e = s + OPT_CHUNK;
         int final = 0;
         long L, match_start_max;
@@ -279,14 +294,23 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
                 long r = litrun[i] + 1;
                 long extra = 1 + ((r == 15 ||
                                    (r > 15 && (r - 15) % 255 == 0)) ? 1 : 0);
-                if (price[i] + extra < price[i + 1]) {
+                /* tie-break toward the shorter pending literal run: its
+                 * future extension-byte thresholds trigger later (the
+                 * litrun is carried state, not priced-ahead, so equal
+                 * price does not mean equal future) */
+                if (price[i] + extra < price[i + 1] ||
+                    (price[i] + extra == price[i + 1] &&
+                     mlen[i + 1] == 0 && r < litrun[i + 1])) {
                     price[i + 1] = price[i] + (int32_t)extra;
                     from[i + 1] = (int32_t)i;
                     mlen[i + 1] = 0;
                     litrun[i + 1] = (int32_t)r;
                 }
             }
-            if (gi + MINMATCH <= n) hc_insert(t, base, pos);
+            if (gi + MINMATCH <= n && gi >= inserted_until) {
+                hc_insert(t, base, pos);
+                inserted_until = gi + 1;
+            }
             if (price[i] >= OPT_INF) continue;
             if (gi < skip_until) continue;
             if (gi <= match_start_max) {
@@ -298,11 +322,24 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
                     uint32_t c = t->head[h];
                     int tries = depth;
                     best = 0;
+                    if (carry_pos == gi - 1 && carry_best > MINMATCH) {
+                        best = (size_t)(carry_best - 1);
+                        mpos = carry_mpos + 1;
+                    }
                     if (c == (uint32_t)pos)
                         c = t->chain[pos & ((1 << 17) - 1)];
                     while (c != NOPOS && tries-- > 0) {
                         long off = pos - (long)c;
+                        /* commit-retreat re-parse: chains already hold
+                         * positions AHEAD of a re-parsed pos (inserted
+                         * by the previous chunk's pass) — step past
+                         * them; their ring links descend to < pos */
+                        if (off <= 0) goto opt_next_cand;
                         if (off > WINDOW) break;
+                        /* can-beat pre-check (see hc_search) */
+                        if (best >= MINMATCH && base + pos + best < limit &&
+                            base[c + best] != base[pos + best])
+                            goto opt_next_cand;
                         if (!(favor && off < 8) &&
                             read32(base + c) == read32(base + pos)) {
                             size_t ml = MINMATCH + mlen_fwd(
@@ -313,15 +350,46 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
                                 /* saturated (RLE degenerate chains) */
                                 if (base + pos + ml >= limit) break; }
                         }
+                    opt_next_cand:
                         c = t->chain[c & ((1 << 17) - 1)];
-                        if (c != NOPOS && (long)c >= pos) break;
+                        /* forward entries are skipped (not break) at the
+                         * loop top; `tries` bounds any stale-ring cycle */
                     }
                 }
+                carry_pos = gi; carry_best = (long)best;
+                carry_mpos = mpos;
                 if (favor && best > 18 && best <= 36) best = 18;
                 if ((long)best > L - i) best = (size_t)(L - i);
                 if ((long)best >= ACCEPT_LEN) skip_until = gi + (long)best;
                 if (best >= MINMATCH && mpos >= 0) {
                     long off = pos - mpos;
+                    if (level >= 11) {
+                        /* exact relaxation: every truncation length is a
+                         * reachable end position (a match prefix is a
+                         * valid match with the same offset). Interior
+                         * lengths matter when a shorter stop lines the
+                         * parse up with a later long match — the last
+                         * 0.04% vs the reference's exhaustive optimal
+                         * tier (lz4hc.c:1940-2015). Bounded by
+                         * suff/ACCEPT_LEN, so RLE stays O(n). */
+                        long Lm;
+                        for (Lm = MINMATCH; Lm <= (long)best; Lm++) {
+                            long mlc = Lm - MINMATCH;
+                            long cost = price[i] + 3
+                                + (mlc >= 15 ? 1 + (mlc - 15) / 255 : 0);
+                            long j = i + Lm;
+                            /* equal price: prefer the match arrival —
+                             * it resets the literal run */
+                            if (j <= L && (cost < price[j] ||
+                                (cost == price[j] && mlen[j] == 0))) {
+                                price[j] = (int32_t)cost;
+                                from[j] = (int32_t)i;
+                                mlen[j] = (int32_t)Lm;
+                                moff[j] = (int32_t)off;
+                                litrun[j] = 0;
+                            }
+                        }
+                    } else {
                     /* price-class maxima: every 18 + 255k below best,
                      * plus best itself (offset cost is constant, so
                      * within a class the longest wins); class count is
@@ -359,17 +427,40 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
                             litrun[j] = 0;
                         }
                     }
+                    }
                 }
             }
         }
 
         /* ---- reconstruct this chunk's sequences (trailing literals
-         * stay pending: the anchor carries into the next chunk) ---- */
+         * stay pending: the anchor carries into the next chunk).
+         * Commit-retreat: sequences ending in the last RETREAT bytes of
+         * a non-final chunk are NOT committed — the next chunk restarts
+         * at the commit point and re-parses them with the seam moved
+         * 256 KB further out. A seam-truncated match ends exactly at the
+         * seam, inside the retreat zone, so truncation never reaches the
+         * output: the chunked parse matches the unchunked one (a prefix
+         * of a shortest arrival path is itself shortest). ---- */
         {
-            long jn = L, count = 0, kk;
+            const long RETREAT = 4096;
+            long jc = L, jn, count = 0, kk;
             long *ends = malloc(sizeof(long) *
                                 (size_t)(L / MINMATCH + 2));
             if (!ends) { free(price); return 0; }
+            if (!final) {
+                jn = L;
+                jc = -1;
+                while (jn > 0) {
+                    if (jn <= L - RETREAT) { jc = jn; break; }
+                    jn = from[jn];
+                }
+                if (jc <= 0 || jc <= L - 8 * RETREAT)
+                    jc = L;   /* a chunk-spanning arrival (giant match):
+                               * nothing sane to retreat to — commit all;
+                               * also bounds the re-parse overhead and
+                               * guarantees >= L-8*RETREAT progress */
+            }
+            jn = jc;
             while (jn > 0) {
                 if (mlen[jn] > 0) ends[count++] = jn;
                 jn = from[jn];
@@ -384,6 +475,7 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
                 anchor = src + s + j;
             }
             free(ends);
+            s += jc;
         }
     }
 
