@@ -350,14 +350,29 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap,
     covered = (o < total_out) & (key_o >= 0)
     t = o - key_o
     is_lit = covered & (t < ll_o)
-    # terminal-byte coordinate space: the chase domain is extended past
-    # the output region with byte TERMINALS — comp bytes at
-    # [cap_out, cap_out+cap_in) and dict bytes after them — whose stored
-    # value is the negative encoding -(byte+1). The final byte fetch
-    # (previously a separate full-width gather) is thereby folded into
-    # the chase's doubling rounds: a pointer that lands on a terminal
-    # picks up the byte value itself.
-    lit_ptr = cap_out + jnp.clip(ls_o + t, 0, cap_in - 1)
+    # ---- literal bytes: monotone merge fetch (no gather) ----------------
+    # Literal source indices are NON-DECREASING in output order (tokens
+    # appear in stream order; within a token t increases), so the fetch
+    # is a merge of comp rows with consumer rows — two cheap sorts, not
+    # a ~6x-costlier random gather (docs/tpu_perf_notes.md). Literal
+    # values enter the chase pre-resolved, which also shortens every
+    # match chain by one hop (a match byte sourcing a literal resolves
+    # in its first round).
+    q = jnp.where(is_lit, jnp.clip(ls_o + t, 0, cap_in - 1), 0)
+    q = jax.lax.cummax(q)
+    lkey = jnp.concatenate([jnp.arange(cap_in, dtype=jnp.int32) * 2,
+                            q * 2 + 1])
+    lval = jnp.concatenate([comp.astype(jnp.int32) + 1,
+                            jnp.zeros(cap_out, jnp.int32)])
+    slk, slv = jax.lax.sort((lkey, lval), num_keys=1, is_stable=True)
+    lfill, = jax.lax.associative_scan(
+        lambda a, b: (jnp.where(b[0] > 0, b[0], a[0]),), (slv,))
+    is_cons = (slk & 1) == 1
+    crank = jnp.cumsum(is_cons.astype(jnp.int32)) - 1
+    ckey2 = jnp.where(is_cons, crank, jnp.int32(cap_in + cap_out))
+    _, lit_sorted = jax.lax.sort((ckey2, lfill), num_keys=1,
+                                 is_stable=True)
+    lit_byte = lit_sorted[:cap_out] - 1           # uint8 value, >= 0
     # analytic intra-token escape (segment-level match resolution): a
     # match byte's source chain within its OWN token (offset < match
     # length: RLE / periodic copies) is an arithmetic progression, so
@@ -375,42 +390,40 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap,
     k_in = (o - m0) // d_off + 1      # steps to leave own token (>=1)
     src_out = o - k_in * d_off        # output coordinate (may be < 0)
     if has_dict:
-        # src_out in [-DICT_CAP, 0) maps onto the dict terminal region
-        dict_ptr = cap_out + cap_in + jnp.clip(
-            DICT_CAP + src_out, 0, DICT_CAP - 1)
+        # src_out in [-DICT_CAP, 0) maps onto the dict terminal region,
+        # whose slots store the byte value as -(byte+1)
+        dict_ptr = cap_out + jnp.clip(DICT_CAP + src_out, 0, DICT_CAP - 1)
         mat_ptr = jnp.where(src_out >= 0, src_out, dict_ptr)
+        terms = -(dict_buf.astype(jnp.int32)) - 1
+        dom = cap_out + DICT_CAP
     else:
         # window underruns are already flagged by the token-level offset
-        # checks above; park them on a terminal so the chase converges
+        # checks above; park them in place so the chase converges
         err = err | jnp.any(covered & ~is_lit & (src_out < 0))
         mat_ptr = jnp.maximum(src_out, 0)
-    ptr = jnp.where(is_lit, lit_ptr, jnp.where(covered, mat_ptr,
-                                               jnp.int32(-1)))
-
-    # terminal value lanes: -(byte+1), always negative
-    comp_term = -(comp.astype(jnp.int32)) - 1
-    if has_dict:
-        dict_term = -(dict_buf.astype(jnp.int32)) - 1
-        terms = jnp.concatenate([comp_term, dict_term])
-    else:
-        terms = comp_term
-    dom = cap_out + terms.shape[0]
+        terms = None
+        dom = cap_out
+    # literal bytes enter pre-resolved (negative encoding -(byte+1));
+    # match bytes carry output-coordinate pointers (or dict terminals)
+    ptr = jnp.where(is_lit, -lit_byte - 1,
+                    jnp.where(covered, mat_ptr, jnp.int32(-1)))
 
     # ---- resolve match chains (convergence-bounded doubling) ------------
-    # ptr <- X[ptr] over X = [current ptrs | byte terminals] composes the
+    # ptr <- X[ptr] over X = [current ptrs | dict terminals] composes the
     # map with itself (reach doubles); with the analytic intra-token
-    # escape every application is a full token hop, so real data
-    # converges in a few rounds. A merge-by-sort gather variant was
-    # measured at ~21 ms/round on TPU — no better than the serialized
-    # take (docs/tpu_perf_notes.md), so the adaptive take-based loop
-    # stays.
+    # escape every application is a full token hop and with literals
+    # pre-resolved a generation-1 match lands on a value immediately, so
+    # real data converges in 1-3 rounds (all-literal blocks skip the
+    # loop entirely). A merge-by-sort gather variant was measured at
+    # ~21 ms/round on TPU — no better than the serialized take
+    # (docs/tpu_perf_notes.md), so the adaptive take-based loop stays.
     def chase_cond(state):
         ptr, rounds = state
         return jnp.any(ptr >= 0) & (rounds < 19)
 
     def chase_body(state):
         ptr, rounds = state
-        x = jnp.concatenate([ptr, terms])
+        x = ptr if terms is None else jnp.concatenate([ptr, terms])
         nxt = jnp.take(x, jnp.clip(ptr, 0, dom - 1))
         return jnp.where(ptr >= 0, nxt, ptr), rounds + 1
 
