@@ -99,14 +99,17 @@ def _parse_tokens(comp, comp_lens, *, cap_out: int, partial: bool):
     Structural precomputes (all elementwise/scan — no gathers):
       nn[i]  = next non-255 byte position at/after i (255-chain ends)
       vnn[i] = the byte AT nn[i] (reverse last-valid fill)
-      A[i]   = nn[i] | vnn[i] << 17   — one take serves a whole
-               length-extension chain read (position + final byte)
+      A[i]   = nn[i] | vnn[i] << SH   — one take serves a whole
+               length-extension chain read (position + final byte);
+               SH sized to the tier (position bits + 8 value bits <= 31,
+               so every frame tier up to 4 MB fits in int32)
       W[i]   = c[i] | c[i+1] << 8     — one take serves the 2-byte
                offset read
     This packs the parse step's 7 dependent 1-element gathers into 4
     (the serial take chain IS the parse cost, ~0.7 us each).
     """
     B, cap_in = comp.shape
+    SH = max(17, int(cap_in).bit_length())
     idx = jnp.arange(cap_in, dtype=jnp.int32)
     c32 = comp.astype(jnp.int32)
     M = comp_lens.astype(jnp.int32)
@@ -122,7 +125,7 @@ def _parse_tokens(comp, comp_lens, *, cap_out: int, partial: bool):
     vnn, _ = jax.lax.associative_scan(
         last_valid_rt, (c32, c32 != 255), reverse=True, axis=1)
     vnn = jnp.where(nn < cap_in, vnn, 0)
-    A = nn | (vnn << 17)
+    A = nn | (vnn << SH)
 
     def pad_col(arr, v):
         return jnp.concatenate(
@@ -148,8 +151,8 @@ def _parse_tokens(comp, comp_lens, *, cap_out: int, partial: bool):
         tok = rd(c_ext, p)
         litnib = tok >> 4
         a1 = rd(A_ext, p + 1)
-        q = a1 & 0x1FFFF
-        extlit = 255 * (q - (p + 1)) + (a1 >> 17)
+        q = a1 & ((1 << SH) - 1)
+        extlit = 255 * (q - (p + 1)) + (a1 >> SH)
         litlen = jnp.where(litnib == 15, litnib + extlit, litnib)
         lit_start = jnp.where(litnib == 15, q + 1, p + 1)
         if partial:
@@ -163,8 +166,8 @@ def _parse_tokens(comp, comp_lens, *, cap_out: int, partial: bool):
         matnib = tok & 15
         mo = lit_end + 2
         a2 = rd(A_ext, mo)
-        q2 = a2 & 0x1FFFF
-        extmat = 255 * (q2 - mo) + (a2 >> 17)
+        q2 = a2 & ((1 << SH) - 1)
+        extmat = 255 * (q2 - mo) + (a2 >> SH)
         mlen = MINMATCH + jnp.where(matnib == 15, matnib + extmat, matnib)
         next_p = jnp.where(matnib == 15, q2 + 1, mo)
         if partial:
@@ -451,11 +454,12 @@ def decode_blocks(comp, comp_lens, dict_bufs, dict_lens, out_caps=None, *,
                lz4.c:2279); defaults to cap_out everywhere
     returns (out uint8[B, cap_out], out_lens int32[B], errs int32[B])
     """
-    if comp.shape[1] >= (1 << 17):
-        # the packed parse helper A carries positions in 17 bits — ample
-        # for the 64 KB tier's compress_bound; larger tiers decode on
-        # the host (engine routing)
-        raise NotImplementedError("decode graph is 64KB-tier only")
+    if comp.shape[1] >= (1 << 23):
+        # the packed parse helper A carries position | byte << SH in one
+        # int32: SH <= 23 keeps 255 << SH inside int32. Every frame tier
+        # (64 KB .. 4 MB compress_bound) fits; anything larger decodes
+        # on the host.
+        raise NotImplementedError("decode graph supports cap_in < 8 MB")
     if out_caps is None:
         out_caps = jnp.full(comp.shape[0], cap_out, jnp.int32)
     recs, err, seen_last = _parse_tokens(comp, comp_lens, cap_out=cap_out,

@@ -402,12 +402,12 @@ class TpuBackend:
         if not blocks:
             return []
         mo = max(max_outs)
-        # device decode graphs exist for the 64 KB tier only (big-tier
-        # streams have arbitrary sequence layout; encode-side segmenting
-        # does not apply)
+        # device decode graphs exist per frame tier (the parse helper
+        # packs any cap_in < 8 MB); the gate is the compile-cost budget
+        # (LZ4_TPU_MAX_DEVICE_BLOCK), not the format
         if (max(len(b) for b in blocks) < self.min_device_size
                 and mo < self.min_device_size) \
-                or mo > min(self.max_device_size, SEG):
+                or mo > self.max_device_size:
             return self._host().decompress_batch(
                 blocks, max_outs, dict_prefixes=dict_prefixes)
         from lz4_tpu.block.decode_jax import DICT_CAP as DCAP
@@ -435,7 +435,23 @@ class TpuBackend:
                     d = bytes(d)[-DCAP:]
                     dict_bufs[i, DCAP - len(d):] = np.frombuffer(d, np.uint8)
                     dict_lens[i] = len(d)
-        unit = self._unit()
+        # per-tier dispatch width: keep ~2 MB of output per dispatch so
+        # big tiers don't blow up HBM liveness (64K->32, 256K->8,
+        # 1M->2, 4M->1), rounded up to a mesh multiple
+        nd = self.codec.n_devices if self.codec else 1
+        unit = max(1, (self.CHUNK * SEG) // cap_out)
+        unit = -(-unit // nd) * nd
+        B = -(-len(blocks) // unit) * unit
+        if B > comp.shape[0]:
+            comp = np.concatenate(
+                [comp, np.zeros((B - comp.shape[0], cap_in), np.uint8)])
+            lens = np.concatenate(
+                [lens, np.zeros(B - lens.shape[0], np.int32)])
+            dict_bufs = np.concatenate(
+                [dict_bufs,
+                 np.zeros((B - dict_bufs.shape[0], DCAP), np.uint8)])
+            dict_lens = np.concatenate(
+                [dict_lens, np.zeros(B - dict_lens.shape[0], np.int32)])
         outs, olens, oerrs = [], [], []
         for i in range(0, B, unit):      # fixed-shape dispatches, pipelined
             sl = slice(i, i + unit)

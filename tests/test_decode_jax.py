@@ -135,3 +135,26 @@ def test_device_partial_decode():
     out = decode_blocks_host([c2], [4000], dict_prefixes=[hist],
                              partial=True)[0]
     assert out == data[:4000]
+
+
+def test_big_tier_device_decode():
+    """Blocks above the 64 KB tier decode on device: the parse helper
+    packs position | byte << SH with SH sized to cap_in (so length
+    extensions parsed at stream offsets beyond 2^17 still decode)."""
+    from lz4_tpu.hc.codec import compress_block_hc
+
+    data = [
+        gen_buffer(262144, match_prob=0.6, seed=21),
+        gen_buffer(200000, match_prob=0.05, seed=22),  # mostly literals:
+        # the compressed stream is ~200 KB, so late tokens sit past 2^17
+        (gen_buffer(1000, match_prob=0.9, seed=23) * 300)[:262144],
+    ]
+    comp = [compress_block(d) for d in data]
+    out = decode_blocks_host(comp, [len(d) for d in data])
+    for got, want in zip(out, data):
+        assert got == want
+    # and an HC stream with long matches (255-chained match lengths)
+    d = (b"A" * 70000 + gen_buffer(150000, match_prob=0.3, seed=24))
+    c = compress_block_hc(d, level=9)
+    (got,) = decode_blocks_host([c], [len(d)])
+    assert got == d
