@@ -420,9 +420,18 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap,
     # loop entirely). A merge-by-sort gather variant was measured at
     # ~21 ms/round on TPU — no better than the serialized take
     # (docs/tpu_perf_notes.md), so the adaptive take-based loop stays.
+    # phase 1: full-width rounds while the unresolved set is large
+    # (gather cost is per element fetched, so width is the cost)
+    W2 = cap_out // 4
+    # doubling halves the remaining generation depth per round; the
+    # token-hop escape bounds depth by cap_out, so log2(cap_out)+2
+    # rounds always suffice (19 at the 64 KB tier, 24 at 4 MB)
+    RMAX = max(19, int(cap_out).bit_length() + 2)
+
     def chase_cond(state):
         ptr, rounds = state
-        return jnp.any(ptr >= 0) & (rounds < 19)
+        return (jnp.sum((ptr >= 0).astype(jnp.int32)) > W2) \
+            & (rounds < RMAX)
 
     def chase_body(state):
         ptr, rounds = state
@@ -430,8 +439,35 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap,
         nxt = jnp.take(x, jnp.clip(ptr, 0, dom - 1))
         return jnp.where(ptr >= 0, nxt, ptr), rounds + 1
 
-    ptr, _ = jax.lax.while_loop(chase_cond, chase_body,
-                                (ptr, jnp.int32(0)))
+    ptr, rounds = jax.lax.while_loop(chase_cond, chase_body,
+                                     (ptr, jnp.int32(0)))
+
+    # phase 2: compacted rounds — the (<= W2) straggler rows are selected
+    # ONCE (the unresolved set only shrinks), then each round is a
+    # W2-wide gather + unique scatter instead of a cap_out-wide gather
+    okey = jnp.where(ptr >= 0, o, jnp.int32(2 * cap_out))
+    _, sel = jax.lax.sort((okey, o), num_keys=1, is_stable=True)
+    sel = sel[:W2]
+    sptr = jnp.take(ptr, sel)
+
+    def c_cond(state):
+        _, sp, rounds = state
+        return jnp.any(sp >= 0) & (rounds < RMAX)
+
+    def c_body(state):
+        ptr_full, sp, rounds = state
+        x = ptr_full if terms is None else jnp.concatenate(
+            [ptr_full, terms])
+        nxt = jnp.take(x, jnp.clip(sp, 0, dom - 1))
+        sp = jnp.where(sp >= 0, nxt, sp)
+        ptr_full = ptr_full.at[sel].set(sp, unique_indices=True)
+        return ptr_full, sp, rounds + 1
+
+    ptr, _, _ = jax.lax.while_loop(c_cond, c_body, (ptr, sptr, rounds))
+    # defensive: a pointer that survived both loops means the round
+    # bound was beaten (cannot happen for well-formed streams) — flag,
+    # never emit silent garbage
+    err = err | jnp.any(ptr >= 0)
 
     # ---- materialize (terminal decode only — the byte rode the chase) ---
     out = jnp.where(o < total_out, (-ptr - 1).astype(jnp.uint8),
