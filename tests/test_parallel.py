@@ -85,3 +85,37 @@ def test_tpu_backend_on_mesh(mesh):
     comp = be.compress_batch(blocks)
     rt = be.decompress_batch(comp, [len(b) for b in blocks])
     assert rt == blocks
+
+
+def test_corpus_scan_wrappers():
+    """encode_corpus/decode_corpus (one-dispatch lax.map over chunk
+    groups) must agree with the per-chunk graphs."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lz4_tpu.block.corpus import decode_corpus, encode_corpus
+    from lz4_tpu.block.decode_jax import DICT_CAP as DDC
+    from lz4_tpu.block.encode_jax import DICT_CAP
+    from lz4_tpu.utils.datagen import gen_buffer
+
+    NC, B, bs = 2, 2, 4096
+    data = [gen_buffer(bs, match_prob=p, seed=i)
+            for i, p in enumerate((0.0, 0.5, 0.9, 0.7))]
+    src = jnp.asarray(np.stack(
+        [np.frombuffer(d, np.uint8) for d in data]).reshape(NC, B, bs))
+    lens = jnp.full((NC, B), bs, jnp.int32)
+    db = jnp.zeros((B, DICT_CAP), jnp.uint8)
+    dl = jnp.zeros(B, jnp.int32)
+    out, csizes, _ = encode_corpus(src, lens, db, dl, cap_n=bs,
+                                   has_dict=False)
+    comp = np.asarray(out).reshape(NC * B, -1)
+    cs = np.asarray(csizes).reshape(NC * B)
+    ddb = jnp.zeros((B, DDC), jnp.uint8)
+    o3, l3, e3 = decode_corpus(
+        jnp.asarray(comp.reshape(NC, B, -1)),
+        jnp.asarray(cs.reshape(NC, B).astype(np.int32)), ddb, dl,
+        cap_out=bs, has_dict=False)
+    assert not np.asarray(e3).any()
+    got = np.asarray(o3).reshape(NC * B, -1)
+    for i, d in enumerate(data):
+        assert got[i, :bs].tobytes() == d
