@@ -41,6 +41,13 @@ from lz4_tpu.constants import LZ4_DISTANCE_MAX, MINMATCH
 
 DICT_CAP = 65536  # static history window capacity (64 KB)
 
+#: unrolled token-level offset-composition rounds before the byte chase
+#: (each is ~2 token-width sorts; each saved chase round is a full-width
+#: gather — rebalance via TPU measurement, tools/fullbench.py;
+#: env-overridable for process-level A/B)
+import os as _os
+COMP_ROUNDS = int(_os.environ.get("LZ4_TPU_DECODE_COMP_ROUNDS", "3"))
+
 
 def sort_gather(values, idx):
     """out[i] = values[idx[i]] as a merge-by-sort: providers
@@ -281,7 +288,7 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap,
     tactive = contrib > 0
     OFF = offs
     m0_t = match_dst
-    for _comp_round in range(3):
+    for _comp_round in range(COMP_ROUNDS):
         src_lo = m0_t - OFF
         src_hi = src_lo + mlens
         qkey = jnp.where(has_m & (src_lo >= 0), src_lo, BIGT)
