@@ -176,6 +176,14 @@ def main() -> None:
                                                 has_dict=False),
                      comp, csz, jit=False)
         record(out, bytes_moved=B * NB)
+        if cname in ("text", "mixed"):
+            # acceleration graph (--fast>=4): fewer sort payload lanes
+            out = timeit(f"encode_fast_{cname}",
+                         lambda s: encode_blocks(s, lens, dicts_e, dl_e,
+                                                 cap_n=NB, has_dict=False,
+                                                 lite=True),
+                         srcb, jit=False)
+            record(out, bytes_moved=B * NB)
 
     _log("summary:")
     for r in results:
