@@ -101,6 +101,11 @@ def main() -> int:
 
             # --- compress on a random path, decode 3 ways ------------
             path = r.randrange(3) if not args.no_device else 2
+            if len(raw) > 65536:
+                # the raw device encode graph is 64 KB-tier; bigger
+                # blocks go through the engine's segmented path, which
+                # the parallel tests cover
+                path = 2
             if path == 0 and level < 2:
                 comp = encode_blocks_host(
                     [raw], dict_prefixes=[d] if d else None,
