@@ -232,6 +232,26 @@ def main() -> None:
     except Exception as e:            # oracle is best-effort
         _log(f"reference comparison skipped: {e}")
 
+    # host-native tier on the same corpus (the CLI's host-backend path;
+    # C via ctypes, GIL released) — recorded alongside the device
+    # headline for the full-framework picture
+    host_mbs = host_dec_mbs = None
+    try:
+        from lz4_tpu.block.backend import HostBackend
+        hblocks = [data[i: i + bs] for i in range(0, n, bs)]
+        hb = HostBackend(nb_workers=0)
+        t0 = time.perf_counter()
+        hcomp = hb.compress_batch(hblocks, level=1)
+        host_mbs = round((n / 1e6) / (time.perf_counter() - t0), 1)
+        t0 = time.perf_counter()
+        hout = hb.decompress_batch(hcomp, [bs] * len(hcomp))
+        host_dec_mbs = round((n / 1e6) / (time.perf_counter() - t0), 1)
+        assert b"".join(hout) == data
+        _log(f"host C tier: encode {host_mbs} MB/s, "
+             f"decode {host_dec_mbs} MB/s")
+    except Exception as e:
+        _log(f"host tier measurement skipped: {e}")
+
     result = {
         "metric": "compress_throughput",
         "value": round(comp_mbs, 1),
@@ -243,6 +263,8 @@ def main() -> None:
             "ratio": round(ratio, 3),
             "size_vs_ref": size_vs_ref,
             "decode_ref_streams_MBs": ref_dec_mbs,
+            "host_compress_MBs": host_mbs,
+            "host_decompress_MBs": host_dec_mbs,
             "corpus": corpus_kind,
             "corpus_MB": total_mb,
             "block": bs,
