@@ -75,7 +75,6 @@ long lz4t_compress_block(const uint8_t *src, long n, uint8_t *dst,
     const uint8_t *mflimit = iend - MFLIMIT;
     const uint8_t *matchlimit = iend - LASTLITERALS;
     uint8_t *op = dst, *oend = dst + dst_cap;
-    long total = dict_len + n;
     int step_base = accel > 0 ? accel : 1;
 
     if (n == 0) {
@@ -241,6 +240,124 @@ long lz4t_decompress_block(const uint8_t *comp, long clen, uint8_t *dst,
     uint8_t *op = dst, *oend = dst + cap;
 
     if (clen <= 0) return -1;
+    /* ---- fast loop: 16-byte wildcopies while both cursors are far
+     * from their buffer ends (margins make every overrunning copy land
+     * inside the buffers); drops to the exact loop below for the tail.
+     * Structure follows the reference decoder's fastloop idea
+     * (lz4.c:2075-2209); the code is written against the block format. */
+    if (cap > 96 && clen > 32) {
+        uint8_t *oend_fast = oend - 64;
+        const uint8_t *iend_fast = iend - 16;
+        while (op <= oend_fast && ip <= iend_fast) {
+            /* bail points rewind to the sequence start: the exact loop
+             * below must resume at a token boundary (literal re-copies
+             * are idempotent) */
+            const uint8_t *tok_ptr = ip;
+            uint8_t *op_save = op;
+            uint32_t token = *ip++;
+            size_t lit = token >> 4;
+            size_t mlen, off;
+            if (lit < 15) {
+                /* lit <= 14: one 16-byte wildcopy covers it; the junk
+                 * tail is overwritten by the next copy */
+                memcpy(op, ip, 16);
+                op += lit; ip += lit;
+            } else {
+                uint8_t b;
+                do {
+                    if (ip >= iend) return -1;
+                    b = *ip++;
+                    lit += b;
+                    if (lit > (size_t)cap + 65536u) return -1;
+                } while (b == 255);
+                if ((size_t)(iend - ip) < lit) return -1;
+                if ((size_t)(oend - op) < lit) return -1;
+                if (op + lit <= oend_fast && ip + lit <= iend_fast) {
+                    const uint8_t *e = ip + lit;
+                    uint8_t *o2 = op;
+                    const uint8_t *i2 = ip;
+                    do { memcpy(o2, i2, 16); o2 += 16; i2 += 16; }
+                    while (i2 < e);
+                    op += lit; ip = e;
+                } else {
+                    /* near an end: hand the whole sequence to the
+                     * exact loop */
+                    ip = tok_ptr; op = op_save;
+                    goto fast_done;
+                }
+            }
+            if ((size_t)(iend - ip) < 2 + 1 + LASTLITERALS ||
+                (size_t)(oend - op) < MFLIMIT) {
+                ip = tok_ptr; op = op_save;
+                goto fast_done;
+            }
+            off = (size_t)ip[0] | ((size_t)ip[1] << 8);
+            ip += 2;
+            if (off == 0) return -1;
+            mlen = token & 15;
+            if (mlen == 15) {
+                uint8_t b;
+                do {
+                    if (ip >= iend) return -1;
+                    b = *ip++;
+                    mlen += b;
+                    if (mlen > (size_t)cap + 65536u) return -1;
+                } while (b == 255);
+            }
+            mlen += MINMATCH;
+            if ((size_t)(oend - op) < mlen) return -1;
+            {
+                size_t pos = (size_t)(op - dst);
+                if (off > pos + (size_t)dict_len) return -1;
+                if (off > pos) {          /* dict-resident prefix: exact */
+                    size_t dpos = (size_t)dict_len - (off - pos);
+                    size_t take = off - pos;
+                    if (take > mlen) take = mlen;
+                    memcpy(op, dict + dpos, take);
+                    op += take;
+                    mlen -= take;
+                    if (mlen) {
+                        const uint8_t *s2 = op - off;
+                        size_t i;
+                        for (i = 0; i < mlen; i++) op[i] = s2[i];
+                        op += mlen;
+                    }
+                } else if (op + mlen + 16 <= oend) {
+                    const uint8_t *s2 = op - off;
+                    uint8_t *e = op + mlen;
+                    if (off >= 16) {
+                        uint8_t *o2 = op;
+                        do { memcpy(o2, s2, 16); o2 += 16; s2 += 16; }
+                        while (o2 < e);
+                        op = e;
+                    } else {
+                        /* overlapping: stamp a 16-byte pattern with an
+                         * off-aligned stride (overrun lands in-bounds) */
+                        uint8_t pat[16];
+                        size_t i, stride = (16 / off) * off;
+                        for (i = 0; i < 16; i++) pat[i] = s2[i % off];
+                        {
+                            uint8_t *o2 = op;
+                            do { memcpy(o2, pat, 16); o2 += stride; }
+                            while (o2 < e);
+                        }
+                        op = e;
+                    }
+                } else {
+                    const uint8_t *s2 = op - off;
+                    size_t i;
+                    if (off >= mlen) {
+                        memcpy(op, s2, mlen);
+                    } else {
+                        for (i = 0; i < mlen; i++) op[i] = s2[i];
+                    }
+                    op += mlen;
+                }
+            }
+        }
+    fast_done:;
+        /* fall through to the exact loop with ip at a sequence start */
+    }
     for (;;) {
         size_t lit, mlen, off;
         uint32_t token;
