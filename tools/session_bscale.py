@@ -23,6 +23,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 LOG_PATH = os.environ.get("LZ4_TPU_SESSION_LOG", "/tmp/sessA.log")
 
 
