@@ -146,6 +146,23 @@ def main() -> None:
     record(timeit("scan_16k_u1", lambda p: scan_hops(p, 16386, 1), p1))
     record(timeit("scan_4k_u4", lambda p: scan_hops(p, 4097, 4), p1))
 
+    # one 2-lane take per hop (the r3 parse-table pattern: pairing
+    # (nm, ml) / (tok, ext) on a minor axis halves the dependent-take
+    # chain — this stage proves the paired take costs the same as one)
+    def scan_hops2(p, steps):
+        tab = jnp.stack([p[:, : N - 8], p[:, : N - 8] + 1], axis=-1)
+
+        def body(c, _):
+            g = jnp.take_along_axis(
+                tab, jnp.clip(c[:, None, None] + 3, 0, N - 9), axis=1)
+            return g[:, 0, 0] - g[:, 0, 1] + 1 + c, c
+
+        c, _ = jax.lax.scan(body, jnp.zeros(B, jnp.int32), None,
+                            length=steps)
+        return c
+
+    record(timeit("scan_16k_2lane", lambda p: scan_hops2(p, 16386), p1))
+
     # ---- end-to-end codec per corpus type -------------------------------
     corpora = {
         "text": gen_text(B * NB, seed=11),
