@@ -112,7 +112,11 @@ def _parse_tokens(comp, comp_lens, *, cap_out: int, partial: bool):
                so every frame tier up to 4 MB fits in int32)
       W[i]   = c[i] | c[i+1] << 8     — one take serves the 2-byte
                offset read
-    This packs the parse step's 7 dependent 1-element gathers into 4
+      G[i]   = (c[i], A[i+1])         — 2-lane minor axis: ONE take at p
+               yields the token byte AND the literal-extension info
+      H[i]   = (W[i], A[i+2])         — ONE take at lit_end yields the
+               offset word AND the match-extension info
+    This packs the parse step's 7 dependent 1-element gathers into 2
     (the serial take chain IS the parse cost, ~0.7 us each).
     """
     B, cap_in = comp.shape
@@ -134,19 +138,26 @@ def _parse_tokens(comp, comp_lens, *, cap_out: int, partial: bool):
     vnn = jnp.where(nn < cap_in, vnn, 0)
     A = nn | (vnn << SH)
 
-    def pad_col(arr, v):
-        return jnp.concatenate(
-            [arr, jnp.full((B, 1), v, jnp.int32)], axis=1)
-
-    A_ext = pad_col(A, cap_in)               # sentinel: q=cap_in, cq=0
+    # sentinel rows (q=cap_in, byte 0) for reads past the buffer end —
+    # such reads only feed rows that are then masked done/bad/is_last
+    pad = jnp.full((B, 1), cap_in, jnp.int32)
+    A_ext = jnp.concatenate([A, pad, pad], axis=1)       # (B, cap_in+2)
     W = c32 | (jnp.concatenate(
         [c32[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1) << 8)
-    W_ext = pad_col(W, 0)
-    c_ext = pad_col(c32, 0)
+    # pair-interleaved parse tables (B, 2*cap_in): one per-row dynamic
+    # slice of 2 adjacent elements fetches both values at one address
+    # (interleaving keeps the big axis minor — a trailing lane dim of 2
+    # tiles catastrophically on TPU)
+    G = jnp.stack([c32, A_ext[:, 1: cap_in + 1]], axis=-1) \
+        .reshape(B, 2 * cap_in)
+    H = jnp.stack([W, A_ext[:, 2: cap_in + 2]], axis=-1) \
+        .reshape(B, 2 * cap_in)
 
-    def rd(arr, i):
-        return jnp.take_along_axis(
-            arr, jnp.clip(i, 0, arr.shape[1] - 1)[:, None], axis=1)[:, 0]
+    def rd2(arr, i):
+        j = 2 * jnp.clip(i, 0, cap_in - 1)
+        g = jax.vmap(lambda t, s: jax.lax.dynamic_slice(t, (s,), (2,)))(
+            arr, j)
+        return g[:, 0], g[:, 1]
 
     T = cap_in // 3 + 2          # every sequence but the last is >=3 bytes
 
@@ -155,9 +166,8 @@ def _parse_tokens(comp, comp_lens, *, cap_out: int, partial: bool):
         (carry', record 4-tuple of int32[B])."""
         p, err, seen_last = carry
         done = p >= M
-        tok = rd(c_ext, p)
+        tok, a1 = rd2(G, p)
         litnib = tok >> 4
-        a1 = rd(A_ext, p + 1)
         q = a1 & ((1 << SH) - 1)
         extlit = 255 * (q - (p + 1)) + (a1 >> SH)
         litlen = jnp.where(litnib == 15, litnib + extlit, litnib)
@@ -169,10 +179,10 @@ def _parse_tokens(comp, comp_lens, *, cap_out: int, partial: bool):
             litlen = jnp.minimum(litlen, jnp.maximum(M - lit_start, 0))
         lit_end = lit_start + litlen
         is_last = lit_end >= M
-        offset = rd(W_ext, lit_end) & 0xFFFF
+        w, a2 = rd2(H, lit_end)
+        offset = w & 0xFFFF
         matnib = tok & 15
         mo = lit_end + 2
-        a2 = rd(A_ext, mo)
         q2 = a2 & ((1 << SH) - 1)
         extmat = 255 * (q2 - mo) + (a2 >> SH)
         mlen = MINMATCH + jnp.where(matnib == 15, matnib + extmat, matnib)

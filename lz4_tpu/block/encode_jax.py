@@ -234,6 +234,19 @@ def _match_tables(src, n, dict_buf, dict_len, *, cap_n: int,
     nm = jax.lax.cummin(jnp.where(is_match, idx, jnp.int32(N)), axis=0,
                         reverse=True)
     nm_ext = jnp.concatenate([nm, jnp.array([N], jnp.int32)])
+    # ml of that next match (reverse last-valid fill): pairing it with nm
+    # lets the parse hop read BOTH its successor and the successor's step
+    # in ONE dependent take — the take chain is the entire scan cost
+    # (docs/tpu_perf_notes.md: ~0.7 us per take, unrolling doesn't help)
+
+    def last_valid_rt(a, b):
+        keep = b[1]
+        return (jnp.where(keep, b[0], a[0]), a[1] | b[1])
+
+    nm_ml, _ = jax.lax.associative_scan(
+        last_valid_rt, (ml, is_match), reverse=True)
+    nm_ml = jnp.where(nm < N, nm_ml, 0)
+    nm_ml_ext = jnp.concatenate([nm_ml, jnp.array([0], jnp.int32)])
     off = jnp.where(valid, idx - cand, 0)
     # clamp back-extension by window start (anchor clamp happens later)
     bk4 = jnp.minimum(bk4, jnp.maximum(cand - lo, 0))
@@ -241,7 +254,7 @@ def _match_tables(src, n, dict_buf, dict_len, *, cap_n: int,
               | jnp.int32(0))            # ml:18 bits, bk:4 bits
     packed_ext = jnp.concatenate([packed, jnp.array([0], jnp.int32)])
     off_ext = jnp.concatenate([off, jnp.array([0], jnp.int32)])
-    return nm_ext, packed_ext, off_ext
+    return nm_ext, nm_ml_ext, packed_ext, off_ext
 
 
 # ---------------------------------------------------------------------------
@@ -254,16 +267,19 @@ def _match_tables(src, n, dict_buf, dict_len, *, cap_n: int,
 PARSE_CHUNK = 1024
 
 
-def _parse_hops(nm_ext, packed_ext, *, d0: int, cap_n: int):
+def _parse_hops(nm_ext, nm_ml_ext, *, d0: int, cap_n: int):
     """The greedy token-hop walk for all B blocks: literal runs are
     skipped via the next-match table, so the cursor only stops at
-    matches (~0.7us per dependent take, independent of batch width).
+    matches. Each step is ONE dependent per-block take (~0.7us,
+    independent of batch width): the lookup table pairs (nm[i],
+    ml[nm[i]]) along a minor axis, so one take yields both the next
+    match position and the step length needed for the hop after it.
     Chunked under an early-exit while_loop: real-data match counts are
     well below the worst-case bound T = cap_n/4, and the batch lives
     inside the loop carry so the per-chunk record write is an in-place
     dynamic_update_slice (the per-step batched-DUS variant measured 16x
     slower — docs/tpu_perf_notes.md).
-    nm_ext/packed_ext: int32[B, N+1]. Returns tokpos int32[B, T]."""
+    nm_ext/nm_ml_ext: int32[B, N+1]. Returns tokpos int32[B, T]."""
     B, N1 = nm_ext.shape
     N = N1 - 1
     T = cap_n // MINMATCH + 2            # max #matches per block
@@ -271,33 +287,41 @@ def _parse_hops(nm_ext, packed_ext, *, d0: int, cap_n: int):
     n_chunks = -(-T // CH)
     Tpad = n_chunks * CH
 
-    def rd(arr, i):
-        return jnp.take_along_axis(
-            arr, jnp.clip(i, 0, N)[:, None], axis=1)[:, 0]
+    # pair-interleaved table (B, 2(N+1)): tab[:, 2i] = nm[i],
+    # tab[:, 2i+1] = ml[nm[i]] — the pair is fetched with ONE per-row
+    # dynamic slice of 2 adjacent elements. Interleaving keeps the big
+    # axis minor (lane-dim 2 arrays tile catastrophically on TPU).
+    tab = jnp.stack([nm_ext, nm_ml_ext], axis=-1).reshape(B, 2 * N1)
 
-    def hop(cur, _):
-        step = rd(packed_ext, cur) & ((1 << 18) - 1)   # ml at cur
-        nxt = rd(nm_ext, jnp.minimum(cur + step, N))
-        return nxt, cur
+    def rd_pair(j):
+        g = jax.vmap(lambda t, s: jax.lax.dynamic_slice(t, (s,), (2,)))(
+            tab, 2 * j)
+        return g[:, 0], g[:, 1]
+
+    def hop(carry, _):
+        cur, step = carry
+        nxt, step2 = rd_pair(jnp.minimum(cur + step, N))
+        return (nxt, step2), cur
 
     def cond(state):
-        cur, _, k = state
+        (cur, _), _, k = state
         return jnp.any(cur < N) & (k < n_chunks)
 
     def body(state):
-        cur, buf, k = state
-        cur, recs = jax.lax.scan(hop, cur, None, length=CH)
+        carry, buf, k = state
+        carry, recs = jax.lax.scan(hop, carry, None, length=CH)
         buf = jax.lax.dynamic_update_slice(buf, recs, (k * CH, 0))
-        return cur, buf, k + 1
+        return carry, buf, k + 1
 
     cur0 = nm_ext[:, d0]
+    step0 = nm_ml_ext[:, d0]
     # unwritten rows must read as "no token": initialize to N. The
     # 0*cur0 term ties the initial carry to the (possibly sharded)
     # inputs so its varying-axes type matches the loop output under
     # shard_map (XLA folds it away otherwise).
     buf0 = jnp.full((Tpad, B), N, jnp.int32) + 0 * cur0[None, :]
-    _, buf, _ = jax.lax.while_loop(cond, body,
-                                   (cur0, buf0, jnp.int32(0)))
+    (_, _), buf, _ = jax.lax.while_loop(cond, body,
+                                        ((cur0, step0), buf0, jnp.int32(0)))
     return buf[:T].T
 
 
@@ -473,10 +497,10 @@ def encode_blocks(src, lens, dict_bufs, dict_lens, *, cap_n: int,
             "segmented at the engine level")
     mt = functools.partial(_match_tables, cap_n=cap_n, has_dict=has_dict,
                            n_cand=n_cand, lazy=lazy, lite=lite)
-    nm_ext, packed_ext, off_ext = jax.vmap(mt)(src, lens, dict_bufs,
-                                               dict_lens)
+    nm_ext, nm_ml_ext, packed_ext, off_ext = jax.vmap(mt)(
+        src, lens, dict_bufs, dict_lens)
     d0 = DICT_CAP if has_dict else 0
-    tokpos = _parse_hops(nm_ext, packed_ext, d0=d0, cap_n=cap_n)
+    tokpos = _parse_hops(nm_ext, nm_ml_ext, d0=d0, cap_n=cap_n)
     em = functools.partial(_emit_one, cap_n=cap_n, has_dict=has_dict)
     return jax.vmap(em)(src, lens, dict_bufs, dict_lens, tokpos,
                         packed_ext, off_ext)
