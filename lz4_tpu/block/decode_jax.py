@@ -533,9 +533,17 @@ def decode_blocks_host(blocks, max_outs, dict_prefixes=None, *,
     Groups by capacity; returns list[bytes]. Raises on any error flag."""
     if not blocks:
         return []
-    cap_in = max(len(b) for b in blocks)
-    cap_in = max(cap_in, 16)
-    cap_out = max(max(max_outs), 16)
+
+    def _pad_cap(n: int) -> int:
+        # bucketize to limit the compiled-shape set (compiles are the
+        # scarce resource; also keeps the test suite's XLA state small)
+        cap = 256
+        while cap < n:
+            cap *= 2
+        return cap
+
+    cap_in = _pad_cap(max(16, max(len(b) for b in blocks)))
+    cap_out = _pad_cap(max(16, max(max_outs)))
     B = len(blocks)
     comp = np.zeros((B, cap_in), np.uint8)
     lens = np.zeros(B, np.int32)

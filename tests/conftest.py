@@ -24,6 +24,24 @@ import pytest  # noqa: E402
 
 import ref_oracle  # noqa: E402
 
+# XLA:CPU in this jaxlib build segfaults/aborts inside compilation once
+# a process accumulates enough live compiled executables (reproducibly
+# ~120 tests into the suite, independent of our graphs — observed at
+# jax/_src/compiler.py backend_compile_and_load with no Python-level
+# error). Dropping the executable/jaxpr caches between modules keeps the
+# accumulated compiler state far below the tipping point.
+_tests_since_clear = 0
+
+
+@pytest.fixture(autouse=True)
+def _periodic_cache_clear():
+    global _tests_since_clear
+    yield
+    _tests_since_clear += 1
+    if _tests_since_clear >= 40:
+        _tests_since_clear = 0
+        jax.clear_caches()
+
 
 def _oracle_ok() -> bool:
     try:
