@@ -43,10 +43,13 @@ DICT_CAP = 65536  # static history window capacity (64 KB)
 
 #: unrolled token-level offset-composition rounds before the byte chase
 #: (each is ~2 token-width sorts; each saved chase round is a full-width
-#: gather — rebalance via TPU measurement, tools/fullbench.py;
-#: env-overridable for process-level A/B)
+#: gather). Round-3 on-device A/B (tools/session_comprounds.py, real
+#: corpus, B=32 x 64KB): 0 rounds 6.2 MB/s vs 3 rounds 5.5 MB/s — with
+#: literals entering the chase pre-resolved and the analytic intra-token
+#: escape, the chase is cheaper than the token sorts composition costs,
+#: so the default is OFF; env-overridable for process-level A/B.
 import os as _os
-COMP_ROUNDS = int(_os.environ.get("LZ4_TPU_DECODE_COMP_ROUNDS", "3"))
+COMP_ROUNDS = int(_os.environ.get("LZ4_TPU_DECODE_COMP_ROUNDS", "0"))
 
 
 def sort_gather(values, idx):

@@ -74,6 +74,49 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return r, t_first, best
 
+    if probe_dict:
+        # linked/dict-mode graph probe at B=32 (encode, then decode):
+        # every 64 KB block sees the previous block's bytes as history —
+        # the flagship MT linked-chunk path (lz4io.c:1130-1160)
+        B = 32
+        srcs = jnp.asarray(src_all[:B])
+        lens = jnp.full(B, bs, jnp.int32)
+        dnp = np.zeros((B, DICT_CAP), np.uint8)
+        dnp[1:] = src_all[:B - 1]
+        dbufs = jnp.asarray(dnp)
+        dlens = jnp.full(B, DICT_CAP, jnp.int32).at[0].set(0)
+        log(event="dict_encode_compile_start", B=B)
+
+        def enc_d():
+            return encode_blocks(srcs, lens, dbufs, dlens, cap_n=bs,
+                                 has_dict=True)
+
+        (o, cs, _), t_first, t_best = timed("enc_dict", enc_d)
+        mb = B * bs / 1e6
+        log(event="dict_encode", B=B, compile_s=round(t_first, 1),
+            best_s=round(t_best, 3), MBs=round(mb / t_best, 1),
+            csize=int(np.asarray(cs).sum()))
+
+        comp_np = np.asarray(o)
+        csz = np.asarray(cs).astype(np.int32)
+        comp_j = jnp.asarray(comp_np)
+        clens = jnp.asarray(csz)
+        ddnp = np.zeros((B, DCAP), np.uint8)
+        ddnp[1:] = src_all[:B - 1]
+        ddb = jnp.asarray(ddnp)
+        ddl = jnp.full(B, DCAP, jnp.int32).at[0].set(0)
+        log(event="dict_decode_compile_start", B=B)
+
+        def dec_d():
+            return decode_blocks(comp_j, clens, ddb, ddl, cap_out=bs,
+                                 has_dict=True)
+
+        (do, dl, de), t_first, t_best = timed("dec_dict", dec_d)
+        ok = np.asarray(do).tobytes() == data[: B * bs]
+        log(event="dict_decode", B=B, compile_s=round(t_first, 1),
+            best_s=round(t_best, 3), MBs=round(mb / t_best, 1),
+            err=int(np.asarray(de).max()), roundtrip=bool(ok))
+
     comp_cache = {}
     for B in (32, 64, 128):
         if B > max_b:
@@ -122,49 +165,6 @@ def main() -> None:
         log(event="decode", B=B, compile_s=round(t_first, 1),
             best_s=round(t_best, 3), MBs=round(mb / t_best, 1),
             err=errs, roundtrip=bool(rt_ok))
-
-    if probe_dict:
-        # linked/dict-mode graph probe at B=32 (encode, then decode):
-        # every 64 KB block sees the previous block's bytes as history —
-        # the flagship MT linked-chunk path (lz4io.c:1130-1160)
-        B = 32
-        srcs = jnp.asarray(src_all[:B])
-        lens = jnp.full(B, bs, jnp.int32)
-        dnp = np.zeros((B, DICT_CAP), np.uint8)
-        dnp[1:] = src_all[:B - 1]
-        dbufs = jnp.asarray(dnp)
-        dlens = jnp.full(B, DICT_CAP, jnp.int32).at[0].set(0)
-        log(event="dict_encode_compile_start", B=B)
-
-        def enc_d():
-            return encode_blocks(srcs, lens, dbufs, dlens, cap_n=bs,
-                                 has_dict=True)
-
-        (o, cs, _), t_first, t_best = timed("enc_dict", enc_d)
-        mb = B * bs / 1e6
-        log(event="dict_encode", B=B, compile_s=round(t_first, 1),
-            best_s=round(t_best, 3), MBs=round(mb / t_best, 1),
-            csize=int(np.asarray(cs).sum()))
-
-        comp_np = np.asarray(o)
-        csz = np.asarray(cs).astype(np.int32)
-        comp_j = jnp.asarray(comp_np)
-        clens = jnp.asarray(csz)
-        ddnp = np.zeros((B, DCAP), np.uint8)
-        ddnp[1:] = src_all[:B - 1]
-        ddb = jnp.asarray(ddnp)
-        ddl = jnp.full(B, DCAP, jnp.int32).at[0].set(0)
-        log(event="dict_decode_compile_start", B=B)
-
-        def dec_d():
-            return decode_blocks(comp_j, clens, ddb, ddl, cap_out=bs,
-                                 has_dict=True)
-
-        (do, dl, de), t_first, t_best = timed("dec_dict", dec_d)
-        ok = np.asarray(do).tobytes() == data[: B * bs]
-        log(event="dict_decode", B=B, compile_s=round(t_first, 1),
-            best_s=round(t_best, 3), MBs=round(mb / t_best, 1),
-            err=int(np.asarray(de).max()), roundtrip=bool(ok))
 
     log(event="done")
 
