@@ -68,6 +68,16 @@ DICT_CAP = 65536     # static history window capacity (64 KB)
 import os as _os
 ENC_NW = int(_os.environ.get("LZ4_TPU_ENC_NW", "7"))
 
+#: carry the 2 back-extension context words (the catch-up analog of
+#: lz4.c:1104-1109) on the GREEDY graphs too. Measured redundant there:
+#: whenever bytes extend backward from a match at q, position q-1 has a
+#: 4-gram match of its own, so the greedy parse (next-match table)
+#: already stops at the backmost extendable position — compressed bytes
+#: are IDENTICAL with the lanes off across real/text/mixed corpora.
+#: Only lazy demotion (the HC tier) can land the parse mid-run, so only
+#: that graph carries the lanes by default (0.8-1.2% size there).
+ENC_BK = _os.environ.get("LZ4_TPU_ENC_BK", "0") != "0"
+
 
 def _shift_left(a, k, fill):
     """a shifted toward lower indices: out[i] = a[i+k]."""
@@ -142,7 +152,7 @@ def _match_tables(src, n, dict_buf, dict_len, *, cap_n: int,
          | (_shift_left(b32, 2, 0) << 16)
          | (_shift_left(b32, 3, 0) << 24))
     fwd = [_shift_left(w, 4 * (j + 1), 0) for j in range(NW)]
-    if lite:
+    if lite or not (lazy or ENC_BK):
         # acceleration graph (--fast on device): the fixed-cost analog
         # of the reference's skip heuristic (lz4.c:711, 1023-1053) is
         # shedding sort payload lanes — shallow extension words, no
@@ -175,7 +185,7 @@ def _match_tables(src, n, dict_buf, dict_len, *, cap_n: int,
                                                     _low_zero_bytes(x)),
                               ext_i)
             ok = ok & (x == 0)
-        if lite:
+        if swb is None:
             bk_i = jnp.zeros_like(cand_i)
         else:
             xb = swb ^ _shift_right(swb, i, 0)
