@@ -218,13 +218,15 @@ def _match_tables(src, n, dict_buf, dict_len, *, cap_n: int,
         cand_s = jnp.where(better, cand_j, cand_s)
         ext_s = jnp.where(better, ext_j, ext_s)
         bk_s = jnp.where(better, bk_j, bk_s)
-    pack_s = ext_s | (bk_s << 5)
+    # single payload lane for the back-sort: (cand+1):18 | ext:5 | bk:4
+    # (N <= 128K+pad on the 64 KB tier graphs, ext <= 4*NW = 28, bk <= 8)
+    pack_s = (cand_s + 1) | (ext_s << 18) | (bk_s << 23)
 
     # ---- stage 2: restore position order (sort by position) -------------
-    _, cand, pk = jax.lax.sort((spos, cand_s, pack_s), num_keys=1,
-                               is_stable=True)
-    ext = pk & 31
-    bk4 = pk >> 5
+    _, pk = jax.lax.sort((spos, pack_s), num_keys=1, is_stable=True)
+    cand = (pk & ((1 << 18) - 1)) - 1
+    ext = (pk >> 18) & 31
+    bk4 = pk >> 23
 
     valid = cand >= 0            # window/distance checked in sorted space
 
