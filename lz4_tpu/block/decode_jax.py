@@ -51,6 +51,14 @@ DICT_CAP = 65536  # static history window capacity (64 KB)
 import os as _os
 COMP_ROUNDS = int(_os.environ.get("LZ4_TPU_DECODE_COMP_ROUNDS", "0"))
 
+#: straggler-chase formulation: rank-space compacted doubling renames
+#: the unresolved rows into dense rank coordinates once and doubles
+#: inside the compacted array — no per-round scatter, and the
+#: full-width phase-1 threshold rises to cap_out/2 because compacted
+#: rounds are cheap. Default OFF until the on-device A/B
+#: (tools/session_chase.py) lands; "1" enables it.
+CHASE_RANK = _os.environ.get("LZ4_TPU_DECODE_RANK_CHASE", "0") != "0"
+
 
 def sort_gather(values, idx):
     """out[i] = values[idx[i]] as a merge-by-sort: providers
@@ -442,7 +450,7 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap,
     # (docs/tpu_perf_notes.md), so the adaptive take-based loop stays.
     # phase 1: full-width rounds while the unresolved set is large
     # (gather cost is per element fetched, so width is the cost)
-    W2 = cap_out // 4
+    W2 = cap_out // (2 if CHASE_RANK else 4)
     # doubling halves the remaining generation depth per round; the
     # token-hop escape bounds depth by cap_out, so log2(cap_out)+2
     # rounds always suffice (19 at the 64 KB tier, 24 at 4 MB)
@@ -462,28 +470,62 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap,
     ptr, rounds = jax.lax.while_loop(chase_cond, chase_body,
                                      (ptr, jnp.int32(0)))
 
-    # phase 2: compacted rounds — the (<= W2) straggler rows are selected
-    # ONCE (the unresolved set only shrinks), then each round is a
-    # W2-wide gather + unique scatter instead of a cap_out-wide gather
-    okey = jnp.where(ptr >= 0, o, jnp.int32(2 * cap_out))
-    _, sel = jax.lax.sort((okey, o), num_keys=1, is_stable=True)
-    sel = sel[:W2]
-    sptr = jnp.take(ptr, sel)
+    if CHASE_RANK:
+        # phase 2 (rank space): the (<= W2) unresolved rows are renamed
+        # into compacted RANK coordinates once — X1[v] = rank(v) for
+        # unresolved v, terminal otherwise — and the doubling then runs
+        # entirely inside the W2-wide array (c <- c[c]): every straggler
+        # round is a W2-wide take with NO per-round scatter back into
+        # the full array (take cost is per element fetched; the
+        # scatter-based variant paid a W2-wide scatter per round).
+        unres = ptr >= 0
+        rank1 = jnp.cumsum(unres.astype(jnp.int32)) - 1
+        X1 = jnp.where(unres, rank1, ptr)
+        okey = jnp.where(unres, o, jnp.int32(2 * cap_out))
+        _, sel, sptr = jax.lax.sort((okey, o, ptr), num_keys=1,
+                                    is_stable=True)
+        sel = sel[:W2]
+        sptr = sptr[:W2]
+        # entry hop: position-space pointers into the rank/terminal map
+        x1 = X1 if terms is None else jnp.concatenate([X1, terms])
+        c = jnp.where(sptr >= 0,
+                      jnp.take(x1, jnp.clip(sptr, 0, dom - 1)), sptr)
 
-    def c_cond(state):
-        _, sp, rounds = state
-        return jnp.any(sp >= 0) & (rounds < RMAX)
+        def r_cond(state):
+            c, rounds = state
+            return jnp.any(c >= 0) & (rounds < RMAX)
 
-    def c_body(state):
-        ptr_full, sp, rounds = state
-        x = ptr_full if terms is None else jnp.concatenate(
-            [ptr_full, terms])
-        nxt = jnp.take(x, jnp.clip(sp, 0, dom - 1))
-        sp = jnp.where(sp >= 0, nxt, sp)
-        ptr_full = ptr_full.at[sel].set(sp, unique_indices=True)
-        return ptr_full, sp, rounds + 1
+        def r_body(state):
+            c, rounds = state
+            nxt = jnp.take(c, jnp.clip(c, 0, W2 - 1))
+            return jnp.where(c >= 0, nxt, c), rounds + 1
 
-    ptr, _, _ = jax.lax.while_loop(c_cond, c_body, (ptr, sptr, rounds))
+        c, _ = jax.lax.while_loop(r_cond, r_body, (c, rounds))
+        # one scatter total (sorted unique positions); padding rows
+        # (okey == BIG) carry their own resolved ptr value back unchanged
+        ptr = ptr.at[sel].set(c, unique_indices=True)
+    else:
+        # phase 2 (scatter): straggler rows selected once, each round a
+        # W2-wide gather + unique scatter into the full array
+        okey = jnp.where(ptr >= 0, o, jnp.int32(2 * cap_out))
+        _, sel = jax.lax.sort((okey, o), num_keys=1, is_stable=True)
+        sel = sel[:W2]
+        sptr = jnp.take(ptr, sel)
+
+        def c_cond(state):
+            _, sp, rounds = state
+            return jnp.any(sp >= 0) & (rounds < RMAX)
+
+        def c_body(state):
+            ptr_full, sp, rounds = state
+            x = ptr_full if terms is None else jnp.concatenate(
+                [ptr_full, terms])
+            nxt = jnp.take(x, jnp.clip(sp, 0, dom - 1))
+            sp = jnp.where(sp >= 0, nxt, sp)
+            ptr_full = ptr_full.at[sel].set(sp, unique_indices=True)
+            return ptr_full, sp, rounds + 1
+
+        ptr, _, _ = jax.lax.while_loop(c_cond, c_body, (ptr, sptr, rounds))
     # defensive: a pointer that survived both loops means the round
     # bound was beaten (cannot happen for well-formed streams) — flag,
     # never emit silent garbage

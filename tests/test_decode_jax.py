@@ -158,3 +158,77 @@ def test_big_tier_device_decode():
     c = compress_block_hc(d, level=9)
     (got,) = decode_blocks_host([c], [len(d)])
     assert got == d
+
+
+def test_rank_chase_variant():
+    """The rank-space compacted straggler chase (CHASE_RANK) decodes
+    identically to the scatter formulation — covered here because the
+    committed default is measured-on-device; this pins the A/B
+    alternative (tools/session_chase.py) correct on every corpus class,
+    including deep RLE chains, dict history, and malformed streams."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from lz4_tpu.block import decode_jax
+
+    old = decode_jax.CHASE_RANK
+    decode_jax.CHASE_RANK = not old
+    try:
+        @functools.partial(jax.jit, static_argnames=("cap_out", "has_dict"))
+        def dec(comp, lens, db, dl, *, cap_out, has_dict):
+            caps = jnp.full(comp.shape[0], cap_out, jnp.int32)
+            recs, err, seen = decode_jax._parse_tokens(
+                comp, lens, cap_out=cap_out, partial=False)
+            fn = functools.partial(decode_jax._decode_one, cap_out=cap_out,
+                                   has_dict=has_dict, partial=False)
+            return jax.vmap(fn)(comp, lens, db, dl, caps, *recs, err, seen)
+
+        data = list(corpora())
+        comp = [compress_block(d) for d in data]
+        cap_out = 131072
+        cap_in = max(max(len(c) for c in comp), 16)
+        B = len(comp)
+        cb = np.zeros((B, cap_in), np.uint8)
+        cl = np.zeros(B, np.int32)
+        for i, c in enumerate(comp):
+            cb[i, : len(c)] = np.frombuffer(c, np.uint8)
+            cl[i] = len(c)
+        db = jnp.zeros((B, decode_jax.DICT_CAP), jnp.uint8)
+        dl = jnp.zeros(B, jnp.int32)
+        out, olen, errs = dec(jnp.asarray(cb), jnp.asarray(cl), db, dl,
+                              cap_out=cap_out, has_dict=False)
+        out = np.asarray(out)
+        for i, want in enumerate(data):
+            assert not np.asarray(errs)[i]
+            assert out[i, : len(want)].tobytes() == want
+        # dict-backed decode through the flipped formulation
+        hist = gen_buffer(70000, match_prob=0.5, seed=40)
+        body = hist[-1500:] + gen_buffer(3000, match_prob=0.6, seed=41)
+        c = compress_block(body, dict_prefix=hist)
+        cb2 = np.zeros((1, max(len(c), 16)), np.uint8)
+        cb2[0, : len(c)] = np.frombuffer(c, np.uint8)
+        db2 = np.zeros((1, decode_jax.DICT_CAP), np.uint8)
+        h = hist[-decode_jax.DICT_CAP:]
+        db2[0, decode_jax.DICT_CAP - len(h):] = np.frombuffer(h, np.uint8)
+        out, olen, errs = dec(
+            jnp.asarray(cb2), jnp.asarray(np.array([len(c)], np.int32)),
+            jnp.asarray(db2), jnp.asarray(np.array([len(h)], np.int32)),
+            cap_out=8192, has_dict=True)
+        assert not int(np.asarray(errs)[0])
+        assert np.asarray(out)[0, : len(body)].tobytes() == body
+        # malformed stream still flags
+        bad = bytearray(compress_block(gen_buffer(5000, 0.5, seed=42)))
+        bad[0] ^= 0xF0
+        cb3 = np.zeros((1, max(len(bad), 16)), np.uint8)
+        cb3[0, : len(bad)] = np.frombuffer(bytes(bad), np.uint8)
+        out, olen, errs = dec(
+            jnp.asarray(cb3), jnp.asarray(np.array([len(bad)], np.int32)),
+            jnp.zeros((1, decode_jax.DICT_CAP), jnp.uint8),
+            jnp.zeros(1, jnp.int32), cap_out=8192, has_dict=False)
+        decoded = np.asarray(out)[0, : 5000].tobytes()
+        assert int(np.asarray(errs)[0]) or decoded != gen_buffer(
+            5000, 0.5, seed=42)
+    finally:
+        decode_jax.CHASE_RANK = old
