@@ -247,7 +247,7 @@ long lz4t_decompress_block(const uint8_t *comp, long clen, uint8_t *dst,
      * (lz4.c:2075-2209); the code is written against the block format. */
     if (cap > 96 && clen > 32) {
         uint8_t *oend_fast = oend - 64;
-        const uint8_t *iend_fast = iend - 16;
+        const uint8_t *iend_fast = iend - 32;
         while (op <= oend_fast && ip <= iend_fast) {
             /* bail points rewind to the sequence start: the exact loop
              * below must resume at a token boundary (literal re-copies
@@ -276,7 +276,7 @@ long lz4t_decompress_block(const uint8_t *comp, long clen, uint8_t *dst,
                     const uint8_t *e = ip + lit;
                     uint8_t *o2 = op;
                     const uint8_t *i2 = ip;
-                    do { memcpy(o2, i2, 16); o2 += 16; i2 += 16; }
+                    do { memcpy(o2, i2, 32); o2 += 32; i2 += 32; }
                     while (i2 < e);
                     op += lit; ip = e;
                 } else {
@@ -295,6 +295,15 @@ long lz4t_decompress_block(const uint8_t *comp, long clen, uint8_t *dst,
             ip += 2;
             if (off == 0) return -1;
             mlen = token & 15;
+            /* shortcut: nibble-sized match (<= 18 B) sourcing wholly
+             * inside already-written output with no overlap hazard —
+             * one 18-byte copy, no length/dict arbitration (reference
+             * analog: the 16/18-byte shortcut of lz4.c:2213-2258) */
+            if (mlen != 15 && off >= 18 && off <= (size_t)(op - dst)) {
+                memcpy(op, op - off, 18);
+                op += mlen + MINMATCH;
+                continue;
+            }
             if (mlen == 15) {
                 uint8_t b;
                 do {
@@ -308,40 +317,56 @@ long lz4t_decompress_block(const uint8_t *comp, long clen, uint8_t *dst,
             if ((size_t)(oend - op) < mlen) return -1;
             {
                 size_t pos = (size_t)(op - dst);
-                if (off > pos + (size_t)dict_len) return -1;
-                if (off > pos) {          /* dict-resident prefix: exact */
-                    size_t dpos = (size_t)dict_len - (off - pos);
-                    size_t take = off - pos;
-                    if (take > mlen) take = mlen;
-                    memcpy(op, dict + dpos, take);
-                    op += take;
-                    mlen -= take;
-                    if (mlen) {
-                        const uint8_t *s2 = op - off;
-                        size_t i;
-                        for (i = 0; i < mlen; i++) op[i] = s2[i];
-                        op += mlen;
-                    }
-                } else if (op + mlen + 16 <= oend) {
+                if (off <= pos && op + mlen + 32 <= oend) {
                     const uint8_t *s2 = op - off;
                     uint8_t *e = op + mlen;
-                    if (off >= 16) {
+                    if (off >= 32) {
+                        uint8_t *o2 = op;
+                        do { memcpy(o2, s2, 32); o2 += 32; s2 += 32; }
+                        while (o2 < e);
+                        op = e;
+                    } else if (off >= 16) {
                         uint8_t *o2 = op;
                         do { memcpy(o2, s2, 16); o2 += 16; s2 += 16; }
                         while (o2 < e);
                         op = e;
+                    } else if (off == 1) {
+                        memset(op, s2[0], mlen + 8);
+                        op = e;
                     } else {
                         /* overlapping: stamp a 16-byte pattern with an
-                         * off-aligned stride (overrun lands in-bounds) */
+                         * off-aligned stride (overrun lands in-bounds);
+                         * the pattern extends by self-repetition — no
+                         * per-byte modulo */
                         uint8_t pat[16];
                         size_t i, stride = (16 / off) * off;
-                        for (i = 0; i < 16; i++) pat[i] = s2[i % off];
+                        /* build by self-repetition: only s2[0..off) is
+                         * decoded yet, everything past it is the very
+                         * region being written */
+                        memcpy(pat, s2, off);
+                        for (i = off; i < 16; i++) pat[i] = pat[i - off];
                         {
                             uint8_t *o2 = op;
                             do { memcpy(o2, pat, 16); o2 += stride; }
                             while (o2 < e);
                         }
                         op = e;
+                    }
+                } else if (off > pos) {
+                    if (off > pos + (size_t)dict_len) return -1;
+                    {   /* dict-resident prefix: exact */
+                        size_t dpos = (size_t)dict_len - (off - pos);
+                        size_t take = off - pos;
+                        if (take > mlen) take = mlen;
+                        memcpy(op, dict + dpos, take);
+                        op += take;
+                        mlen -= take;
+                        if (mlen) {
+                            const uint8_t *s2 = op - off;
+                            size_t i;
+                            for (i = 0; i < mlen; i++) op[i] = s2[i];
+                            op += mlen;
+                        }
                     }
                 } else {
                     const uint8_t *s2 = op - off;
