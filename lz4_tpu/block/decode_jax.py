@@ -51,6 +51,17 @@ DICT_CAP = 65536  # static history window capacity (64 KB)
 import os as _os
 COMP_ROUNDS = int(_os.environ.get("LZ4_TPU_DECODE_COMP_ROUNDS", "0"))
 
+#: leading full-width chase rounds executed as merge-by-sort doubling
+#: (two 1-payload-lane sorts + a fill scan per round, straight-line
+#: graph code) instead of the serialized full-width take. The plain
+#: sort_gather A/B measured ~equal to the take (3-lane sorts), but the
+#: chase round only needs ONE shared payload lane (provider value /
+#: consumer slot), cutting the sort cost below the take. Default OFF
+#: until the on-device A/B validates lowering + speed (the r1
+#: composition bug was sorts under fori_loop; these rounds are
+#: unrolled straight-line, the safe pattern).
+CHASE_SORT_ROUNDS = int(_os.environ.get("LZ4_TPU_DECODE_SORT_CHASE", "0"))
+
 #: straggler-chase formulation: rank-space compacted doubling renames
 #: the unresolved rows into dense rank coordinates once and doubles
 #: inside the compacted array — no per-round scatter, and the
@@ -343,54 +354,127 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap,
     offs = OFF
 
     # ---- merge-by-sort: route token fields to output bytes --------------
+    # Payload-lane economy (each lane on a 2*cap_out-row sort costs
+    # ~1-2 ms per 32x66K pass, docs/tpu_perf_notes.md):
+    #   * the token's output start does NOT ride the sort — after a
+    #     stable sort keyed by output coordinate, the byte-count cumsum
+    #     AT a token row equals its output start (every byte row with a
+    #     smaller coordinate sorts before it), so the start is
+    #     reconstructed post-sort and propagated by the same scan;
+    #   * litlen and offset share one packed lane: offsets are 1..65535
+    #     (off-1 fits 16 bits) and a match token's litlen is < 2^16 at
+    #     every tier <= 64 KB... litlen is clamped to 16 bits and
+    #     match-free tokens (whose offset field is dead) carry the
+    #     sentinel offcode 0xFFFF meaning "every covered byte literal",
+    #     which also covers the one clamped case (a pure-literal token
+    #     spanning the full 64 KB output). Larger tiers pack litlen into
+    #     the wider lane directly (off stays 16 bits by format).
     o = jnp.arange(cap_out, dtype=jnp.int32)
     BIG = jnp.int32(2 * cap_out + 4)
     active = contrib > 0
     skey = jnp.where(active, dst_start, BIG)
     mkey = jnp.concatenate([jnp.minimum(skey, BIG) * 2, o * 2 + 1])
     zpad = jnp.zeros(cap_out, jnp.int32)
-    f_start = jnp.concatenate([jnp.where(active, dst_start, -1),
-                               jnp.full(cap_out, -1, jnp.int32)])
+    small_tier = cap_out <= 65536
+    has_m_t = mlens > 0
+    offcode_t = jnp.where(has_m_t, jnp.maximum(offs, 1) - 1,
+                          jnp.int32(0xFFFF))
     f_ls = jnp.concatenate([lit_starts, zpad])
-    f_ll = jnp.concatenate([litlens, zpad])
-    f_off = jnp.concatenate([offs, zpad])
-    # byte rows are identified by the merged key's low tag bit; their
-    # original position equals their rank among byte rows (stable sort),
-    # so no slot payload lane is carried
-    smk, g_start, g_ls, g_ll, g_off = jax.lax.sort(
-        (mkey, f_start, f_ls, f_ll, f_off), num_keys=1,
-        is_stable=True)
+    if small_tier:
+        llv_t = jnp.clip(litlens, 0, 0xFFFF)
+        f_pack = jnp.concatenate([(llv_t << 16) | offcode_t, zpad])
+        smk, g_ls, g_pack = jax.lax.sort(
+            (mkey, f_ls, f_pack), num_keys=1, is_stable=True)
+        g_ll = None
+    else:
+        # 256 KB..4 MB tiers: litlen exceeds 16 bits, own lane
+        f_pack = jnp.concatenate([offcode_t, zpad])
+        f_ll = jnp.concatenate([litlens, zpad])
+        smk, g_ls, g_pack, g_ll = jax.lax.sort(
+            (mkey, f_ls, f_pack, f_ll), num_keys=1, is_stable=True)
+
+    is_byte = (smk & 1) == 1
+    cs = jnp.cumsum(is_byte.astype(jnp.int32))
+    prov = jnp.where(is_byte, jnp.int32(-1), cs)
 
     def last_valid(a, b):
         keep = b[0] >= 0
         return tuple(jnp.where(keep, y, x) for x, y in zip(a, b))
 
-    p_start, p_ls, p_ll, p_off = jax.lax.associative_scan(
-        last_valid, (g_start, g_ls, g_ll, g_off))
+    if small_tier:
+        p_start, p_ls, p_pack = jax.lax.associative_scan(
+            last_valid, (prov, g_ls, g_pack))
+        p_ll = None
+    else:
+        p_start, p_ls, p_pack, p_ll = jax.lax.associative_scan(
+            last_valid, (prov, g_ls, g_pack, g_ll))
 
-    is_byte = (smk & 1) == 1
-    rank = jnp.cumsum(is_byte.astype(jnp.int32)) - 1
+    # ---- per-byte fields, computed in MERGED order -----------------------
+    # byte rows appear in output order among themselves (stable sort),
+    # so rank IS the output coordinate; everything downstream except the
+    # literal value is elementwise here, and only (q, code) ride the
+    # back-sort.
+    om = cs - 1                                    # o at byte rows
+    t = om - p_start
+    if small_tier:
+        ll_m = (p_pack >> 16) & 0xFFFF
+    else:
+        ll_m = p_ll
+    offcode = p_pack & 0xFFFF
+    covered_m = is_byte & (om < total_out) & (p_start >= 0)
+    is_lit_m = covered_m & ((t < ll_m) | (offcode == 0xFFFF))
+    is_mat_m = covered_m & ~is_lit_m
+    # analytic intra-token escape (segment-level match resolution): a
+    # match byte's source chain within its OWN token (offset < match
+    # length: RLE / periodic copies) is an arithmetic progression, so
+    # instead of single-stepping to o - off we jump straight to the
+    # first source position BEFORE the token's match region:
+    #   esc = o - ceil((o - m0 + 1)/off)*off  in  [m0 - off, m0)
+    # Every chase hop is then a full token hop, collapsing the
+    # pointer-doubling depth from log2(byte chain length) to
+    # log2(token generation depth) — RLE blocks resolve in one round
+    # (was 17). Cited scheme: segment-level LZ77 dependency resolution
+    # (arXiv:1606.00519); reference byte-serial analog: the overlap
+    # wildcopy of lz4.c:2406-2418.
+    m0 = p_start + ll_m
+    d_off = jnp.maximum(offcode, 0) + 1
+    k_in = jnp.maximum(t - ll_m, 0) // d_off + 1
+    src_out = om - k_in * d_off
+    if has_dict:
+        dict_ptr = cap_out + jnp.clip(DICT_CAP + src_out, 0, DICT_CAP - 1)
+        mat_ptr_m = jnp.where(src_out >= 0, src_out, dict_ptr)
+        dom = cap_out + DICT_CAP
+    else:
+        err = err | jnp.any(is_mat_m & (src_out < 0))
+        mat_ptr_m = jnp.clip(src_out, 0, cap_out - 1)
+        dom = cap_out
+    code_m = (jnp.clip(mat_ptr_m, 0, dom - 1)
+              | (is_lit_m.astype(jnp.int32) << 24)
+              | (is_mat_m.astype(jnp.int32) << 25))
+    # literal source cursor: non-decreasing in output order (tokens in
+    # stream order; within a token t increases) — cummax through token
+    # rows keeps it monotone in merged order too
+    q_m = jax.lax.cummax(
+        jnp.where(is_lit_m, jnp.clip(p_ls + t, 0, cap_in - 1), 0))
+
+    rank = cs - 1
     bkey = jnp.where(is_byte, rank, BIG)
-    _, key_o, ls_o, ll_o, off_o = jax.lax.sort(
-        (bkey, p_start, p_ls, p_ll, p_off), num_keys=1, is_stable=True)
-    key_o = key_o[:cap_out]
-    ls_o = ls_o[:cap_out]
-    ll_o = ll_o[:cap_out]
-    off_o = off_o[:cap_out]
+    _, q, code_o = jax.lax.sort(
+        (bkey, q_m, code_m), num_keys=1, is_stable=True)
+    q = q[:cap_out]
+    code_o = code_o[:cap_out]
+    is_lit = (code_o >> 24) & 1
+    is_lit = is_lit.astype(bool)
+    covered = is_lit | ((code_o >> 25) & 1).astype(bool)
+    mat_ptr = code_o & ((1 << 24) - 1)
 
-    covered = (o < total_out) & (key_o >= 0)
-    t = o - key_o
-    is_lit = covered & (t < ll_o)
     # ---- literal bytes: monotone merge fetch (no gather) ----------------
-    # Literal source indices are NON-DECREASING in output order (tokens
-    # appear in stream order; within a token t increases), so the fetch
-    # is a merge of comp rows with consumer rows — two cheap sorts, not
-    # a ~6x-costlier random gather (docs/tpu_perf_notes.md). Literal
-    # values enter the chase pre-resolved, which also shortens every
-    # match chain by one hop (a match byte sourcing a literal resolves
-    # in its first round).
-    q = jnp.where(is_lit, jnp.clip(ls_o + t, 0, cap_in - 1), 0)
-    q = jax.lax.cummax(q)
+    # Literal source indices are NON-DECREASING in output order, so the
+    # fetch is a merge of comp rows with consumer rows — two cheap
+    # 1-payload sorts, not a ~6x-costlier random gather
+    # (docs/tpu_perf_notes.md). Literal values enter the chase
+    # pre-resolved, which also shortens every match chain by one hop (a
+    # match byte sourcing a literal resolves in its first round).
     lkey = jnp.concatenate([jnp.arange(cap_in, dtype=jnp.int32) * 2,
                             q * 2 + 1])
     lval = jnp.concatenate([comp.astype(jnp.int32) + 1,
@@ -404,36 +488,7 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap,
     _, lit_sorted = jax.lax.sort((ckey2, lfill), num_keys=1,
                                  is_stable=True)
     lit_byte = lit_sorted[:cap_out] - 1           # uint8 value, >= 0
-    # analytic intra-token escape (segment-level match resolution): a
-    # match byte's source chain within its OWN token (offset < match
-    # length: RLE / periodic copies) is an arithmetic progression, so
-    # instead of single-stepping to o - off we jump straight to the
-    # first source position BEFORE the token's match region:
-    #   esc = o - ceil((o - m0 + 1)/off)*off  in  [m0 - off, m0)
-    # Every chase hop is then a full token hop, collapsing the
-    # pointer-doubling depth from log2(byte chain length) to
-    # log2(token generation depth) — RLE blocks resolve in one round
-    # (was 17). Cited scheme: segment-level LZ77 dependency resolution
-    # (arXiv:1606.00519); reference byte-serial analog: the overlap
-    # wildcopy of lz4.c:2406-2418.
-    m0 = key_o + ll_o                 # match region start of covering token
-    d_off = jnp.maximum(off_o, 1)
-    k_in = (o - m0) // d_off + 1      # steps to leave own token (>=1)
-    src_out = o - k_in * d_off        # output coordinate (may be < 0)
-    if has_dict:
-        # src_out in [-DICT_CAP, 0) maps onto the dict terminal region,
-        # whose slots store the byte value as -(byte+1)
-        dict_ptr = cap_out + jnp.clip(DICT_CAP + src_out, 0, DICT_CAP - 1)
-        mat_ptr = jnp.where(src_out >= 0, src_out, dict_ptr)
-        terms = -(dict_buf.astype(jnp.int32)) - 1
-        dom = cap_out + DICT_CAP
-    else:
-        # window underruns are already flagged by the token-level offset
-        # checks above; park them in place so the chase converges
-        err = err | jnp.any(covered & ~is_lit & (src_out < 0))
-        mat_ptr = jnp.maximum(src_out, 0)
-        terms = None
-        dom = cap_out
+    terms = (-(dict_buf.astype(jnp.int32)) - 1) if has_dict else None
     # literal bytes enter pre-resolved (negative encoding -(byte+1));
     # match bytes carry output-coordinate pointers (or dict terminals)
     ptr = jnp.where(is_lit, -lit_byte - 1,
@@ -456,6 +511,29 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap,
     # rounds always suffice (19 at the 64 KB tier, 24 at 4 MB)
     RMAX = max(19, int(cap_out).bit_length() + 2)
 
+    for _sr in range(CHASE_SORT_ROUNDS):
+        # one full-width doubling round, sort-structured: providers
+        # (j, X[j]) merge with consumers (ptr[o], o) on one key; a
+        # last-provider fill hands every consumer X[ptr[o]]; the
+        # back-sort restores output order. ONE shared payload lane
+        # (provider value / consumer slot) — cheaper than the
+        # serialized full-width take when the unresolved set is wide.
+        x = ptr if terms is None else jnp.concatenate([ptr, terms])
+        key = jnp.concatenate([jnp.arange(dom, dtype=jnp.int32) * 2,
+                               jnp.clip(ptr, 0, dom - 1) * 2 + 1])
+        pay = jnp.concatenate([x, o])
+        sk, sp = jax.lax.sort((key, pay), num_keys=1, is_stable=True)
+        isp = (sk & 1) == 0
+
+        def fill2(a, b):
+            keep = b[1]
+            return (jnp.where(keep, b[0], a[0]), a[1] | b[1])
+
+        fv, _ = jax.lax.associative_scan(fill2, (sp, isp))
+        bkey2 = jnp.where(isp, jnp.int32(dom + cap_out), sp)
+        _, nxt = jax.lax.sort((bkey2, fv), num_keys=1, is_stable=True)
+        ptr = jnp.where(ptr >= 0, nxt[:cap_out], ptr)
+
     def chase_cond(state):
         ptr, rounds = state
         return (jnp.sum((ptr >= 0).astype(jnp.int32)) > W2) \
@@ -467,8 +545,8 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap,
         nxt = jnp.take(x, jnp.clip(ptr, 0, dom - 1))
         return jnp.where(ptr >= 0, nxt, ptr), rounds + 1
 
-    ptr, rounds = jax.lax.while_loop(chase_cond, chase_body,
-                                     (ptr, jnp.int32(0)))
+    ptr, rounds = jax.lax.while_loop(
+        chase_cond, chase_body, (ptr, jnp.int32(CHASE_SORT_ROUNDS)))
 
     if CHASE_RANK:
         # phase 2 (rank space): the (<= W2) unresolved rows are renamed

@@ -410,58 +410,78 @@ def _emit_one(src, n, dict_buf, dict_len, tokpos, packed_ext, off_ext, *,
     sbase = jnp.concatenate([base, fanchor[None]])
 
     # merged rows: sequences (tag 0) then bytes (tag 1); equal output
-    # offset sorts the sequence row first
+    # offset sorts the sequence row first. The sequence's output start
+    # does NOT ride the sort: after the stable sort the byte-count
+    # cumsum AT a sequence row equals its output start (every byte row
+    # with a smaller coordinate sorts before it), so it is reconstructed
+    # post-sort and propagated by the same last-valid scan.
     mkey = jnp.concatenate([
         jnp.minimum(srow_key, BIG) * 2,
         o * 2 + 1,
     ])
-    f_start = jnp.concatenate([jnp.where(srow_key < BIG, srow_key, -1),
-                               jnp.full(cap_out, -1, jnp.int32)])
     zpad = jnp.zeros(cap_out, jnp.int32)
     f_Lel = jnp.concatenate([sLel, zpad])
     f_offM4 = jnp.concatenate([soffM4, zpad])
     f_base = jnp.concatenate([sbase, zpad])
-    # the byte/sequence tag rides the merged key's low bit, so each byte
-    # row's original position is just its rank among byte rows after the
-    # stable sort — no slot payload lane needed
-    (smk, g_start, g_Lel, g_offM4, g_base) = jax.lax.sort(
-        (mkey, f_start, f_Lel, f_offM4, f_base),
+    (smk, g_Lel, g_offM4, g_base) = jax.lax.sort(
+        (mkey, f_Lel, f_offM4, f_base),
         num_keys=1, is_stable=True)
+
+    is_byte = (smk & 1) == 1
+    cs = jnp.cumsum(is_byte.astype(jnp.int32))
+    prov = jnp.where(is_byte, jnp.int32(-1), cs)
 
     def last_valid(a, b):
         keep = b[0] >= 0
         return tuple(jnp.where(keep, y, x) for x, y in zip(a, b))
 
     (p_start, p_Lel, p_offM4, p_base) = jax.lax.associative_scan(
-        last_valid, (g_start, g_Lel, g_offM4, g_base))
+        last_valid, (prov, g_Lel, g_offM4, g_base))
 
-    # extract byte rows in output order (sequence rows park at the end)
-    is_byte = (smk & 1) == 1
-    rank = jnp.cumsum(is_byte.astype(jnp.int32)) - 1
-    bkey = jnp.where(is_byte, rank, BIG)
-    (_, key_o, pLel_o, poffM4_o, base_o) = jax.lax.sort(
-        (bkey, p_start, p_Lel, p_offM4, p_base),
-        num_keys=1, is_stable=True)
-    key_o = key_o[:cap_out]
-    L_o = pLel_o[:cap_out] & ((1 << 18) - 1)
-    el_o = pLel_o[:cap_out] >> 18
-    off_o = poffM4_o[:cap_out] & 0xFFFF
-    M4_o = (poffM4_o[:cap_out] >> 16) & 0xFFFF
-    base_o = base_o[:cap_out]
-
-    # ---- per-byte value computation -------------------------------------
-    t = o - key_o
+    # ---- per-byte value computation, in MERGED order ---------------------
+    # byte rows appear in output order among themselves, so rank IS the
+    # output coordinate; every byte value except the literal fetch is
+    # elementwise here, and ONE packed lane (q:17 | val:8 | is_lit:1)
+    # rides the back-sort.
+    om = cs - 1                       # o at byte rows
+    t = om - p_start
+    L_o = p_Lel & ((1 << 18) - 1)
+    el_o = p_Lel >> 18
+    off_o = p_offM4 & 0xFFFF
+    M4_o = (p_offM4 >> 16) & 0xFFFF
     nfull = jnp.maximum(L_o - 15, 0) // 255
     mfull = jnp.maximum(M4_o - 15, 0) // 255
 
     token_byte = (jnp.minimum(L_o, 15) << 4) | jnp.minimum(M4_o, 15)
     litext_byte = jnp.where(t - 1 < nfull, 255, L_o - 15 - 255 * nfull)
+    off_lo_byte = off_o & 0xFF
+    off_hi_byte = off_o >> 8
+    matext_byte = jnp.where(t - (3 + el_o + L_o) < mfull, 255,
+                            M4_o - 15 - 255 * mfull)
+    lit_end = 1 + el_o + L_o
+    val_nonlit = jnp.where(
+        t == 0, token_byte,
+        jnp.where(t < 1 + el_o, litext_byte,
+                  jnp.where(t == lit_end, off_lo_byte,
+                            jnp.where(t == lit_end + 1, off_hi_byte,
+                                      matext_byte)))) & 0xFF
     # literal fetch: the source indices are monotone across o (strictly
     # increasing over literal bytes), so a merge-by-sort replaces the
     # (slow) random gather
-    is_lit_byte = (t >= 1 + el_o) & (t < 1 + el_o + L_o)
-    q = jnp.where(is_lit_byte, base_o + (t - 1 - el_o), 0)
-    q = jax.lax.cummax(q, axis=0)
+    is_lit_byte = is_byte & (t >= 1 + el_o) & (t < lit_end)
+    q_m = jax.lax.cummax(jnp.where(
+        is_lit_byte, jnp.clip(p_base + (t - 1 - el_o), 0, N - 1), 0))
+    packed_m = q_m | (val_nonlit << 17) \
+        | (is_lit_byte.astype(jnp.int32) << 25)
+
+    # extract byte rows in output order (sequence rows park at the end)
+    bkey = jnp.where(is_byte, cs - 1, BIG)
+    (_, pk_o) = jax.lax.sort((bkey, packed_m), num_keys=1, is_stable=True)
+    pk_o = pk_o[:cap_out]
+    q = pk_o & ((1 << 17) - 1)
+    val8 = (pk_o >> 17) & 0xFF
+    is_lit_o = ((pk_o >> 25) & 1).astype(bool)
+
     key3 = jnp.concatenate([idx * 2, jnp.clip(q, 0, N - 1) * 2 + 1])
     vals3 = jnp.concatenate([b32.astype(jnp.int32) + 1, zpad])  # +1: valid
     smk3, v_s = jax.lax.sort((key3, vals3), num_keys=1, is_stable=True)
@@ -473,19 +493,7 @@ def _emit_one(src, n, dict_buf, dict_len, tokpos, packed_ext, off_ext, *,
     _, lit_sorted = jax.lax.sort((bkey3, filled), num_keys=1,
                                  is_stable=True)
     lit_byte = lit_sorted[:cap_out] - 1
-    off_lo_byte = off_o & 0xFF
-    off_hi_byte = off_o >> 8
-    matext_byte = jnp.where(t - (3 + el_o + L_o) < mfull, 255,
-                            M4_o - 15 - 255 * mfull)
-
-    lit_end = 1 + el_o + L_o
-    val = jnp.where(
-        t == 0, token_byte,
-        jnp.where(t < 1 + el_o, litext_byte,
-                  jnp.where(t < lit_end, lit_byte,
-                            jnp.where(t == lit_end, off_lo_byte,
-                                      jnp.where(t == lit_end + 1,
-                                                off_hi_byte, matext_byte)))))
+    val = jnp.where(is_lit_o, lit_byte, val8)
     out = jnp.where(o < csize, val, 0).astype(jnp.uint8)
     # trailing literal-run length: the engine's segmented big-block path
     # folds it across segment seams (parallel/engine.py)

@@ -118,7 +118,9 @@ def main() -> None:
             err=int(np.asarray(de).max()), roundtrip=bool(ok))
 
     comp_cache = {}
-    for B in (32, 64, 128):
+    bs_list = tuple(int(x) for x in os.environ.get(
+        "LZ4_TPU_SESSION_BS", "32,64,128").split(","))
+    for B in bs_list:
         if B > max_b:
             break
         K = (nb // B) * B
