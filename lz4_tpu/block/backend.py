@@ -85,10 +85,39 @@ class HostBackend:
             return list(self._executor().map(fn, items))
         return [fn(it) for it in items]
 
+    def _chunked(self, batch_fn, blocks, *extra):
+        """Run a whole-batch native call, fanning contiguous ranges out
+        over the worker pool when configured (the C call releases the
+        GIL, so ranges scale across cores)."""
+        n = len(blocks)
+        if self.nb_workers > 1 and n > 1:
+            w = min(self.nb_workers, n)
+            bounds = [(i * n) // w for i in range(w + 1)]
+            parts = self._executor().map(
+                lambda k: batch_fn(blocks[bounds[k]: bounds[k + 1]],
+                                   *[e[bounds[k]: bounds[k + 1]]
+                                     if isinstance(e, (list, tuple)) else e
+                                     for e in extra]),
+                range(w))
+            out = []
+            for p in parts:
+                out.extend(p)
+            return out
+        return batch_fn(blocks, *extra)
+
     def compress_batch(self, blocks, *, level=0, acceleration=1,
                        dict_prefixes=None, favor_dec_speed=False):
         from lz4_tpu.block.ref_codec import compress_block
         from lz4_tpu.hc.codec import compress_block_hc
+
+        no_dicts = not dict_prefixes or not any(dict_prefixes)
+        if (level < 2 and no_dicts and self._native is not None
+                and len(blocks) > 1):
+            # one C call per worker range: pointer-array batch path
+            return self._chunked(
+                lambda bs, acc: self._native.compress_batch(
+                    bs, acceleration=acc),
+                list(blocks), max(1, acceleration))
 
         def one(ib):
             i, b = ib
@@ -110,6 +139,12 @@ class HostBackend:
 
     def decompress_batch(self, blocks, max_outs, *, dict_prefixes=None):
         from lz4_tpu.block.ref_codec import decompress_block
+
+        no_dicts = not dict_prefixes or not any(dict_prefixes)
+        if no_dicts and self._native is not None and len(blocks) > 1:
+            return self._chunked(
+                lambda bs, mo: self._native.decompress_batch(bs, mo),
+                list(blocks), list(max_outs))
 
         def one(ib):
             i, b = ib

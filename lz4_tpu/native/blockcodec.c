@@ -146,6 +146,120 @@ long lz4t_compress_block(const uint8_t *src, long n, uint8_t *dst,
     return (long)(op - dst);
 }
 
+/* Batch compression: nblocks independent blocks handed as a pointer
+ * array (zero-copy from Python — each entry points straight at a bytes
+ * object), outputs written at dst + i*dst_stride with sizes in
+ * sizes[i]. Removes the per-block Python/ctypes marshalling and buffer
+ * copies of the one-shot path. Reference analog: the CLI compresses
+ * whole chunks through one cctx (lz4io.c:1130-1160) rather than
+ * per-block API calls. Returns 0 on success, -(i+1) if block i failed
+ * (dst_stride too small). */
+long lz4t_compress_batch(const uint8_t **srcs, const int32_t *lens,
+                         long nblocks, uint8_t *dst, long dst_stride,
+                         int32_t *sizes, int accel) {
+    uint32_t htab[HASH_SIZE];
+    long i;
+    for (i = 0; i < nblocks; i++) {
+        /* fresh table per block: stale cross-block entries DO pass the
+         * content check (self-similar corpora alias constantly) and
+         * flood the parse with 4-byte pseudo-matches that defeat the
+         * skip accelerator — measured 3x slower on python source. The
+         * clear is ~4% of a 64 KB block's compress time. */
+        memset(htab, 0xFF, sizeof(htab));
+        const uint8_t *src = srcs[i];
+        long n = lens[i];
+        const uint8_t *ip = src, *anchor = src;
+        const uint8_t *iend = src + n;
+        const uint8_t *mflimit = iend - MFLIMIT;
+        const uint8_t *matchlimit = iend - LASTLITERALS;
+        uint8_t *op = dst + i * dst_stride;
+        uint8_t *oend = op + dst_stride;
+        uint8_t *dst0 = op;
+        int step_base = accel > 0 ? accel : 1;
+
+        if (n == 0) {
+            if (dst_stride < 1) return -(i + 1);
+            *op = 0;
+            sizes[i] = 1;
+            continue;
+        }
+        if (n >= MFLIMIT + 1) {
+            unsigned searchN = (unsigned)step_base << 6;
+            while (ip <= mflimit) {
+                uint32_t h = hash4(read32(ip));
+                uint32_t cpos = htab[h];
+                const uint8_t *cand = src + cpos;
+                htab[h] = (uint32_t)(ip - src);
+                if (cand < ip && (long)(ip - cand) <= WINDOW &&
+                    read32(cand) == read32(ip)) {
+                    size_t ml = MINMATCH +
+                        match_len(ip + MINMATCH, cand + MINMATCH,
+                                  matchlimit);
+                    while (ip > anchor && cand > src &&
+                           ip[-1] == cand[-1]) {
+                        ip--; cand--; ml++;
+                    }
+                    {
+                        size_t lit = (size_t)(ip - anchor);
+                        size_t off = (size_t)(ip - cand);
+                        size_t mlc = ml - MINMATCH;
+                        if (op + 1 + lit + lit / 255 + 2 + 1 + mlc / 255
+                            + 18 > oend)
+                            return -(i + 1);
+                        {
+                            uint8_t *tok = op++;
+                            if (lit >= 15) {
+                                *tok = 15 << 4;
+                                op = emit_length(op, lit);
+                            } else
+                                *tok = (uint8_t)(lit << 4);
+                            /* fixed-size wildcopy for short literals
+                             * (junk tail overwritten by the next
+                             * bytes); guarded against reading past the
+                             * source block — inputs are zero-copy
+                             * Python buffers with no slack */
+                            if (lit <= 16 && anchor + 16 <= iend)
+                                memcpy(op, anchor, 16);
+                            else
+                                memcpy(op, anchor, lit);
+                            op += lit;
+                            *op++ = (uint8_t)(off & 0xFF);
+                            *op++ = (uint8_t)(off >> 8);
+                            if (mlc >= 15) {
+                                *tok |= 15;
+                                op = emit_length(op, mlc);
+                            } else
+                                *tok |= (uint8_t)mlc;
+                        }
+                    }
+                    ip += ml;
+                    anchor = ip;
+                    searchN = (unsigned)step_base << 6;
+                    /* keep the table warm across the skipped span */
+                    if (ip - 2 >= src && ip <= mflimit)
+                        htab[hash4(read32(ip - 2))] =
+                            (uint32_t)(ip - 2 - src);
+                } else {
+                    ip += searchN++ >> 6;
+                }
+            }
+        }
+        {
+            size_t lit = (size_t)(iend - anchor);
+            if (op + 1 + lit + lit / 255 + 1 > oend) return -(i + 1);
+            if (lit >= 15) {
+                *op++ = 15 << 4;
+                op = emit_length(op, lit);
+            } else
+                *op++ = (uint8_t)(lit << 4);
+            memcpy(op, anchor, lit);
+            op += lit;
+        }
+        sizes[i] = (int32_t)(op - dst0);
+    }
+    return 0;
+}
+
 /* Fill-output compression (LZ4_compress_destSize behavioural analog,
  * lz4.h:589-681): compress as much of src as fits into exactly
  * dst_cap output bytes. Returns the compressed size; *consumed gets the
@@ -454,4 +568,25 @@ long lz4t_decompress_block(const uint8_t *comp, long clen, uint8_t *dst,
         }
     }
     return (long)(op - dst);
+}
+
+/* Batch decode: nblocks independent blocks via a pointer array
+ * (zero-copy from Python), outputs at dst + i*dst_stride, decoded
+ * lengths in out_lens[i]. Removes the per-block Python/ctypes
+ * marshalling of the one-shot path. Returns 0 on success, -(i+1) if
+ * block i is malformed. */
+long lz4t_decompress_batch(const uint8_t **srcs, const int32_t *clens,
+                           long nblocks, uint8_t *dst, long dst_stride,
+                           const int32_t *max_outs, int32_t *out_lens) {
+    long i;
+    for (i = 0; i < nblocks; i++) {
+        long cap = max_outs[i];
+        long r;
+        if (cap > dst_stride) cap = dst_stride;
+        r = lz4t_decompress_block(srcs[i], clens[i], dst + i * dst_stride,
+                                  cap, (const uint8_t *)0, 0);
+        if (r < 0) return -(i + 1);
+        out_lens[i] = (int32_t)r;
+    }
+    return 0;
 }
