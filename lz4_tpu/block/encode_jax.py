@@ -61,12 +61,13 @@ DICT_CAP = 65536     # static history window capacity (64 KB)
 
 #: carried forward-context words in the match sort (ext cap = 4*NW).
 #: Each word is a payload lane on the dominant sort (~1-2 ms/pass at
-#: 32x66K). Graded on the first 8 MB of the real corpus: NW=7 0.978x,
-#: NW=6 0.988x, NW=5 1.0011x of reference level-1 size — 5 BREAKS the
-#: <=-reference bar (the round-3 note that 5 was safe measured a
-#: different slice), so the default stays 7; env knob for A/B.
+#: 32x66K). With the token-merge pass (stage 4) recombining
+#: context-capped matches, graded sizes vs reference level 1:
+#: NW=5 -> real48 0.991, text 0.927, mixed 0.907 (NW=4 is 1.0016 on
+#: the 8 MB real slice — just over the bar), so the default drops to 5
+#: (two fewer payload lanes than r2's 7); env knob for A/B.
 import os as _os
-ENC_NW = int(_os.environ.get("LZ4_TPU_ENC_NW", "7"))
+ENC_NW = int(_os.environ.get("LZ4_TPU_ENC_NW", "5"))
 
 #: carry the 2 back-extension context words (the catch-up analog of
 #: lz4.c:1104-1109) on the GREEDY graphs too. Measured redundant there:
@@ -370,6 +371,39 @@ def _emit_one(src, n, dict_buf, dict_len, tokpos, packed_ext, off_ext, *,
     ml_t = g1 & ((1 << 18) - 1)
     bk_t = g1 >> 18
     off_t = jnp.take(off_ext, tokpos)
+
+    # ---- token merge: collapse continuation chains ----------------------
+    # When the carried forward-context caps a match's measured length,
+    # the greedy cursor lands exactly at the truncation point and (for
+    # run-structured data) finds the SAME-offset continuation there; the
+    # parse then emits k sequences where one suffices, costing ~3 bytes
+    # each. Collapse maximal chains (contiguous, equal offset, zero
+    # intervening literals) into their head token with the summed match
+    # length — two segmented scans, no gathers. This also lets the
+    # stage-1 sort carry fewer context words for the same output.
+    prev_end = _shift_right(jnp.where(tmask, tokpos + ml_t, -1), 1, -1)
+    prev_off = _shift_right(off_t, 1, 0)
+    cont = tmask & (prev_end == tokpos) & (prev_off == off_t)
+    head = tmask & ~cont
+
+    def seg_sum(a, b):
+        # segmented running sum of ml: reset at heads
+        return (jnp.where(b[1], b[0], a[0] + b[0]), a[1] | b[1])
+
+    run, _ = jax.lax.associative_scan(seg_sum, (ml_t, head))
+    # a token is its segment's last if the NEXT row starts a new
+    # segment or is padding
+    is_last = tmask & _shift_left(head | ~tmask, 1, True)
+
+    def last_from_right(a, b):
+        keep = b[1]
+        return (jnp.where(keep, b[0], a[0]), a[1] | b[1])
+
+    total, _ = jax.lax.associative_scan(
+        last_from_right, (jnp.where(is_last, run, 0), is_last),
+        reverse=True)
+    ml_t = jnp.where(head, total, 0)
+    tmask = head
 
     tok_end = jnp.where(tmask, tokpos + ml_t, jnp.int32(d0))
     anchor = jnp.concatenate([jnp.array([d0], jnp.int32), tok_end[:-1]])
