@@ -501,6 +501,21 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
 /* Compress src[0..n) with `dict_len` bytes of contiguous history before
  * it. Returns compressed size or 0 on overflow/allocation failure.
  * Reentrant: all state is per-call. */
+/* Chain tier with explicit search depth — the grading/dispatch
+ * experiment surface for routing mid levels to the (much faster) lazy
+ * chain parse where it holds the <=-reference size bar. */
+long lz4t_compress_chain(const uint8_t *src, long n, uint8_t *dst,
+                         long dst_cap, long dict_len, int depth,
+                         int flags) {
+    hc_tables *t = malloc(sizeof(hc_tables));
+    int favor = flags & FLAG_FAVOR_DEC_SPEED;
+    long r;
+    if (!t) return 0;
+    r = compress_chain(t, src, n, dst, dst_cap, dict_len, depth, favor);
+    free(t);
+    return r;
+}
+
 long lz4t_compress_hc(const uint8_t *src, long n, uint8_t *dst,
                       long dst_cap, long dict_len, int level, int flags) {
     hc_tables *t = malloc(sizeof(hc_tables));
