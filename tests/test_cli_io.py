@@ -146,3 +146,27 @@ def test_cli_interop_both_ways(corpus, tmp_path):
     out = tmp_path / "b.out"
     assert run_cli("-d", "-f", refz, out) == 0
     assert out.read_bytes() == corpus.read_bytes()
+
+
+def test_fast_launcher_roundtrip(tmp_path):
+    """scripts/lz4-tpu (-S fast-start) compresses and decompresses a
+    real frame end-to-end in a fresh process."""
+    import shutil
+    launcher = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "lz4-tpu")
+    if not (os.path.exists(launcher) and shutil.which("sh")):
+        pytest.skip("launcher or sh unavailable")
+    src = tmp_path / "f.bin"
+    src.write_bytes(b"launcher smoke " * 4000)
+    lz4f = tmp_path / "f.bin.lz4"
+    out = tmp_path / "f.out"
+    env = dict(os.environ)
+    r = subprocess.run(["sh", launcher, "-1", "-f", "-q", str(src),
+                        str(lz4f)], env=env, capture_output=True,
+                       timeout=120)
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(["sh", launcher, "-d", "-f", "-q", str(lz4f),
+                        str(out)], env=env, capture_output=True,
+                       timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == src.read_bytes()
