@@ -70,6 +70,12 @@ CHASE_SORT_ROUNDS = int(_os.environ.get("LZ4_TPU_DECODE_SORT_CHASE", "0"))
 #: (tools/session_chase.py) lands; "1" enables it.
 CHASE_RANK = _os.environ.get("LZ4_TPU_DECODE_RANK_CHASE", "0") != "0"
 
+#: measurement-only override of the chase round bound (tools/fullbench
+#: decode stage split): 0 skips both chase loops entirely so the
+#: (parse + routing + literal-merge + materialize) floor is timeable in
+#: isolation. None = normal operation. Output is garbage when set.
+CHASE_RMAX_OVERRIDE = None
+
 
 def sort_gather(values, idx):
     """out[i] = values[idx[i]] as a merge-by-sort: providers
@@ -510,6 +516,8 @@ def _decode_one(comp, comp_len, dict_buf, dict_len, out_cap,
     # token-hop escape bounds depth by cap_out, so log2(cap_out)+2
     # rounds always suffice (19 at the 64 KB tier, 24 at 4 MB)
     RMAX = max(19, int(cap_out).bit_length() + 2)
+    if CHASE_RMAX_OVERRIDE is not None:       # timing-only stage split
+        RMAX = int(CHASE_RMAX_OVERRIDE)
 
     for _sr in range(CHASE_SORT_ROUNDS):
         # one full-width doubling round, sort-structured: providers

@@ -176,6 +176,20 @@ def main() -> None:
     dl_d = jnp.zeros(B, jnp.int32)
     lens = jnp.full(B, NB, jnp.int32)
 
+    # decode stage split: fresh jits of the internal phases (the
+    # module-level decode_blocks jit caches on shapes, so the
+    # CHASE_RMAX_OVERRIDE knob needs its own wrapper)
+    from lz4_tpu.block import decode_jax as _dj
+    import functools as _ft
+
+    def _dec_floor(c, s, *, cap_out):
+        out_caps = jnp.full(c.shape[0], cap_out, jnp.int32)
+        recs, err, seen = _dj._parse_tokens(c, s, cap_out=cap_out,
+                                            partial=False)
+        fn = _ft.partial(_dj._decode_one, cap_out=cap_out,
+                         has_dict=False, partial=False)
+        return jax.vmap(fn)(c, s, dicts_d, dl_d, out_caps, *recs, err, seen)
+
     for cname, blob in corpora.items():
         srcb = jnp.asarray(np.frombuffer(blob, np.uint8).reshape(B, NB))
         out = timeit(f"encode_{cname}",
@@ -193,6 +207,23 @@ def main() -> None:
                                                 has_dict=False),
                      comp, csz, jit=False)
         record(out, bytes_moved=B * NB)
+        if cname in ("text", "mixed", "rle"):
+            # parse scan alone, then everything-but-the-chase: the
+            # difference attributes the chase share per corpus
+            out = timeit(
+                f"dparse_{cname}",
+                lambda c, s: _dj._parse_tokens(c, s, cap_out=NB,
+                                               partial=False),
+                comp, csz)
+            record(out, bytes_moved=B * NB)
+            _dj.CHASE_RMAX_OVERRIDE = 0
+            try:
+                out = timeit(f"dfloor_{cname}",
+                             jax.jit(_ft.partial(_dec_floor, cap_out=NB)),
+                             comp, csz, jit=False)
+                record(out, bytes_moved=B * NB)
+            finally:
+                _dj.CHASE_RMAX_OVERRIDE = None
         if cname in ("text", "mixed"):
             # acceleration graph (--fast>=4): fewer sort payload lanes
             out = timeit(f"encode_fast_{cname}",
