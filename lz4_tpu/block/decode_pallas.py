@@ -1,0 +1,250 @@
+"""Pallas serial-block LZ4 decoder — the wildcopy design on TPU.
+
+The sort/scan decoder (decode_jax.py) is bound by XLA's batched
+full-width passes (~22 ms per 32x64K gather, ~1-2 ms per sort lane,
+docs/tpu_perf_notes.md); its per-byte cost is architectural. This
+kernel takes the opposite corner: ONE block per grid step, decoded
+sequentially in VMEM exactly like the reference's hot loop
+(LZ4_decompress_generic, lz4.c:2022-2445), with the TPU twist that
+every copy is a 128-lane vector op:
+
+  * the compressed and output blocks live in VMEM as one-byte-per-lane
+    int32 arrays (R, 128) — 8-bit tiling constraints never apply;
+  * a "window read" fetches 128 consecutive bytes at ANY byte offset:
+    one (2, 128) two-row load + two lane rolls + a select;
+  * token/length parsing extracts scalars from the window by masked
+    reduction; 255-length chains resolve vectorized (first non-255
+    lane via min-reduce) instead of byte-at-a-time;
+  * literal and match copies walk DEST rows: each iteration writes one
+    (1, 128) row through a masked read-modify-write — the analog of
+    the reference's wildCopy8/32 (lz4.c:463-572);
+  * overlap matches (offset < 128) replicate a period pattern with a
+    lane-local take_along_axis — the vector generalization of the
+    reference's inc32table/dec64table trick (lz4.c:2406-2418).
+
+Error semantics mirror decode_jax._parse_tokens / _decode_one bit for
+bit (the sound-subset contract): any malformed stream sets err and the
+output is discarded by the caller.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lz4_tpu.constants import MINMATCH
+
+try:  # Pallas import is optional (CPU interpret mode used in tests)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+LANES = 128
+
+
+def _decode_kernel(len_ref, comp_ref, out_ref, olen_ref, err_ref, *,
+                   cap_out: int, r_in: int, r_out: int,
+                   mode: str = "full"):
+    """One block per grid step. comp_ref: (1, r_in, 128) int32 bytes;
+    out_ref: (1, r_out, 128) int32 bytes; len/olen/err: SMEM scalars."""
+    b = pl.program_id(0)
+    M = len_ref[b]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    def window(ref, pos, rmax):
+        """128 consecutive bytes of ref starting at byte pos (clamped);
+        w[0, j] = ref_bytes[pos + j]. The clamp keeps the 2-row slab
+        load inside the ref for ANY pos (legit positions never clamp:
+        both buffers carry >= 1 spare row past their data)."""
+        pos = jnp.clip(pos, 0, (rmax - 2) * LANES)
+        row = pos // LANES
+        l = pos % LANES
+        slab = ref[0, pl.ds(row, 2), :]                  # (2, 128)
+        r0 = pltpu.roll(slab[0:1, :], -l, 1)
+        r1 = pltpu.roll(slab[1:2, :], -l, 1)
+        return jnp.where(lane < LANES - l, r0, r1)       # (1, 128)
+
+    def at(w, k):
+        """Scalar byte k (0..127) of a window."""
+        return jnp.sum(jnp.where(lane == k, w, 0))
+
+    def ext_len(pos, enable):
+        """Resolve a 255-chain starting at pos: returns (extra, n_bytes)
+        — extra = 255*k + comp[pos+k] where k = first non-255 index.
+        Vectorized over the window; loops only for chains > 127 bytes
+        (a 64 KB block's worst chain is 258 bytes). enable=False runs
+        zero iterations (the nibble < 15 fast path costs nothing)."""
+        def body(st):
+            acc, q, _go = st
+            w = window(comp_ref, q, r_in)
+            k = jnp.min(jnp.where(w != 255, lane, LANES))
+            hit = k < LANES
+            acc = acc + 255 * k \
+                + jnp.where(hit, at(w, jnp.minimum(k, LANES - 1)), 0)
+            return acc, q + jnp.where(hit, k + 1, jnp.int32(LANES)), ~hit
+
+        def cond(st):
+            return st[2]
+
+        acc, q, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), pos, enable))
+        return acc, q - pos
+
+    def copy_span(src_ref, src_rmax, src0, dst0, length, off):
+        """Copy length bytes from byte src0 of src_ref to byte dst0 of
+        out_ref, walking dest rows. off==0 → plain forward copy
+        (literals / far matches read a fresh window per chunk);
+        0<off<128 → periodic pattern from a single seed window."""
+        pat_w = window(src_ref, src0, src_rmax)          # seed (off<128)
+        small = (off > 0) & (off < LANES)
+
+        if mode == "nocopy":          # timing-only: parse cost alone
+            return
+
+        def body(st):
+            cur, rem = st
+            row = cur // LANES
+            start = cur % LANES
+            n = jnp.minimum(LANES - start, rem)
+            # straight path: bytes src..src+n land at lanes start.. —
+            # window at the true source cursor (always >= 0), then
+            # rotate into lane position (reading at src-start instead
+            # would clamp negative near the buffer head and misalign)
+            w = pltpu.roll(
+                window(src_ref, src0 + (cur - dst0), src_rmax), start, 1)
+            # periodic path: lane j holds src[(cur - start + j - src0)
+            # mod off] — dest-anchored so the whole row shares one phase
+            offs = jnp.maximum(off, 1)
+            c0 = jnp.where(small, (cur - start - src0) % offs, 0)
+            idx = (c0 + lane) % offs
+            # Mosaic's dynamic_gather wants operand/index shapes equal
+            # (2D, lane-local); (8, 128) is the native VPU tile
+            pv = jnp.take_along_axis(
+                jnp.broadcast_to(pat_w, (8, LANES)),
+                jnp.broadcast_to(jnp.clip(idx, 0, LANES - 1), (8, LANES)),
+                axis=1)[0:1, :]
+            v = jnp.where(small, pv, w)
+            m = (lane >= start) & (lane < start + n)
+            rowc = jnp.clip(row, 0, r_out - 1)
+            old = out_ref[0, pl.ds(rowc, 1), :]
+            out_ref[0, pl.ds(rowc, 1), :] = jnp.where(m, v, old)
+            return cur + n, rem - n
+
+        jax.lax.while_loop(lambda st: st[1] > 0, body,
+                           (dst0, jnp.maximum(length, 0)))
+
+    def seq_body(st):
+        p, o, err, done = st
+        w = window(comp_ref, p, r_in)
+        tok = at(w, 0)
+        litnib = tok >> 4
+        # literal length (255-chain vectorized; the common short case
+        # never loops)
+        extra, nb = ext_len(p + 1, litnib == 15)
+        litlen = jnp.where(litnib == 15, 15 + extra, litnib)
+        lit_start = jnp.where(litnib == 15, p + 1 + nb, p + 1)
+        lit_end = lit_start + litlen
+        is_last = lit_end >= M
+        # parsing restrictions — mirrors decode_jax._parse_tokens
+        # (reference analog lz4.c:2279-2318)
+        bad_last = is_last & (lit_end != M)
+        ow = jnp.int32(cap_out)
+        err = err | bad_last | ((o + litlen) > ow)
+        copy_span(comp_ref, r_in, lit_start,
+                  jnp.where(err, jnp.int32(0), o),
+                  jnp.where(err, jnp.int32(0), litlen), jnp.int32(0))
+        o_mid = o + litlen
+
+        # match half (absent on the last sequence)
+        w2 = window(comp_ref, lit_end, r_in)
+        offset = at(w2, 0) | (at(w2, 1) << 8)
+        matnib = tok & 15
+        extra2, nb2 = ext_len(lit_end + 2, ~is_last & (matnib == 15))
+        mlen = MINMATCH + jnp.where(matnib == 15, 15 + extra2, matnib)
+        next_p = jnp.where(matnib == 15, lit_end + 2 + nb2, lit_end + 2)
+        bad_mid = (next_p > M) | (offset == 0) | (lit_end > M - 8)
+        err = err | (~is_last & ~done & bad_mid)
+        do_match = ~is_last & ~err & ~done
+        err = err | (do_match & ((o_mid - offset) < 0))
+        err = err | (do_match & ((o_mid + mlen) > ow))
+        err = err | (do_match & (o_mid > ow - 12))
+        do_match = do_match & ~err
+        copy_span(out_ref, r_out, jnp.where(do_match, o_mid - offset, 0),
+                  jnp.where(do_match, o_mid, 0),
+                  jnp.where(do_match, mlen, 0), offset)
+        o_next = jnp.where(do_match, o_mid + mlen,
+                           jnp.where(err, o, o_mid))
+        done = done | is_last | err
+        return next_p, o_next, err, done
+
+    def seq_cond(st):
+        p, _, err, done = st
+        return (p < M) & ~err & ~done
+
+    p, o, err, done = jax.lax.while_loop(
+        seq_cond, seq_body,
+        (jnp.int32(0), jnp.int32(0), M < 0, M < 0))
+    err = err | ~done                    # truncated / endless stream
+    olen_ref[b] = jnp.where(err, 0, o)
+    err_ref[b] = err.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cap_out", "interpret",
+                                             "mode"))
+def _decode_pallas_raw(comp32, comp_lens, *, cap_out: int,
+                       interpret: bool, mode: str = "full"):
+    B, r_in, _ = comp32.shape
+    r_out = -(-cap_out // LANES) + 2
+    r_out += (-r_out) % 8
+    kern = functools.partial(_decode_kernel, cap_out=cap_out,
+                             r_in=r_in, r_out=r_out, mode=mode)
+    out, olen, errs = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, r_in, LANES), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r_out, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, r_out, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(comp_lens.astype(jnp.int32), comp32)
+    flat = out.reshape(B, r_out * LANES)[:, :cap_out].astype(jnp.uint8)
+    return flat, olen, errs
+
+
+def decode_blocks_pallas(comp, comp_lens, *, cap_out: int,
+                         interpret: bool | None = None,
+                         mode: str = "full"):
+    """Batched block decode on the serial-kernel path (no-dict mode).
+
+    Same contract as decode_jax.decode_blocks(has_dict=False):
+    comp uint8[B, cap_in], comp_lens int32[B] →
+    (out uint8[B, cap_out], out_lens int32[B], errs int32[B]).
+    """
+    if not _HAVE_PALLAS:  # pragma: no cover
+        raise RuntimeError("pallas unavailable")
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    B, cap_in = comp.shape
+    r_in = -(-(cap_in + LANES) // LANES)
+    r_in += (-r_in) % 8
+    pad = r_in * LANES - cap_in
+    comp32 = jnp.pad(comp.astype(jnp.int32),
+                     ((0, 0), (0, pad))).reshape(B, r_in, LANES)
+    return _decode_pallas_raw(comp32, comp_lens, cap_out=cap_out,
+                              interpret=bool(interpret), mode=mode)
