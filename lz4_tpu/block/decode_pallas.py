@@ -12,15 +12,19 @@ every copy is a 128-lane vector op:
     int32 arrays (R, 128) — 8-bit tiling constraints never apply;
   * a "window read" fetches 128 consecutive bytes at ANY byte offset:
     one (2, 128) two-row load + two lane rolls + a select;
-  * token/length parsing extracts scalars from the window by masked
-    reduction; 255-length chains resolve vectorized (first non-255
-    lane via min-reduce) instead of byte-at-a-time;
-  * literal and match copies walk DEST rows: each iteration writes one
-    (1, 128) row through a masked read-modify-write — the analog of
-    the reference's wildCopy8/32 (lz4.c:463-572);
+  * the COMMON sequence (litnib < 15, matnib < 15 — the reference's
+    16/18-byte shortcut, lz4.c:2213-2262) parses entirely from that
+    one window: scalars come off lane rolls + static extracts, no
+    reductions, no loads;
+  * short copies (<= 128 bytes, the overwhelming majority) are ONE
+    masked read-modify-write of a (2, 128) slab — the analog of the
+    reference's wildCopy8/32 (lz4.c:463-572); long copies fall back to
+    a per-row loop;
   * overlap matches (offset < 128) replicate a period pattern with a
-    lane-local take_along_axis — the vector generalization of the
-    reference's inc32table/dec64table trick (lz4.c:2406-2418).
+    lane-local dynamic_gather — the vector generalization of the
+    reference's inc32table/dec64table trick (lz4.c:2406-2418); far
+    matches use the same gather with a straight index, so the match
+    path is uniform: one window + one gather + one RMW.
 
 Error semantics mirror decode_jax._parse_tokens / _decode_one bit for
 bit (the sound-subset contract): any malformed stream sets err and the
@@ -54,6 +58,12 @@ def _decode_kernel(len_ref, comp_ref, out_ref, olen_ref, err_ref, *,
     b = pl.program_id(0)
     M = len_ref[b]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    # flat byte index over a (2, 128) slab
+    fi2 = (jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 1)
+           + LANES * jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 0))
+    fi8 = (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+           + LANES * jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0))
+    ow = jnp.int32(cap_out)
 
     def window(ref, pos, rmax):
         """128 consecutive bytes of ref starting at byte pos (clamped);
@@ -68,61 +78,67 @@ def _decode_kernel(len_ref, comp_ref, out_ref, olen_ref, err_ref, *,
         r1 = pltpu.roll(slab[1:2, :], -l, 1)
         return jnp.where(lane < LANES - l, r0, r1)       # (1, 128)
 
-    def at(w, k):
-        """Scalar byte k (0..127) of a window."""
-        return jnp.sum(jnp.where(lane == k, w, 0))
+    def ext(w, k):
+        """Scalar byte k (dynamic, 0..127) of a window: roll + static
+        lane-0 extract (no tree reduction)."""
+        return pltpu.roll(w, -k, 1)[0, 0]
 
     def ext_len(pos, enable):
         """Resolve a 255-chain starting at pos: returns (extra, n_bytes)
         — extra = 255*k + comp[pos+k] where k = first non-255 index.
         Vectorized over the window; loops only for chains > 127 bytes
         (a 64 KB block's worst chain is 258 bytes). enable=False runs
-        zero iterations (the nibble < 15 fast path costs nothing)."""
+        zero iterations."""
         def body(st):
             acc, q, _go = st
             w = window(comp_ref, q, r_in)
             k = jnp.min(jnp.where(w != 255, lane, LANES))
             hit = k < LANES
             acc = acc + 255 * k \
-                + jnp.where(hit, at(w, jnp.minimum(k, LANES - 1)), 0)
+                + jnp.where(hit, ext(w, jnp.minimum(k, LANES - 1)), 0)
             return acc, q + jnp.where(hit, k + 1, jnp.int32(LANES)), ~hit
 
-        def cond(st):
-            return st[2]
-
         acc, q, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), pos, enable))
+            lambda st: st[2], body, (jnp.int32(0), pos, enable))
         return acc, q - pos
 
-    def copy_span(src_ref, src_rmax, src0, dst0, length, off):
-        """Copy length bytes from byte src0 of src_ref to byte dst0 of
-        out_ref, walking dest rows. off==0 → plain forward copy
-        (literals / far matches read a fresh window per chunk);
-        0<off<128 → periodic pattern from a single seed window."""
-        pat_w = window(src_ref, src0, src_rmax)          # seed (off<128)
-        small = (off > 0) & (off < LANES)
+    def rmw_short(v2, dst, n):
+        """Write bytes dst..dst+n-1 (n <= 128) from the (2, 128) value
+        slab v2 (indexed by flat offset from dst's row base) through a
+        masked read-modify-write."""
+        row = jnp.clip(dst // LANES, 0, r_out - 2)
+        start = dst % LANES
+        m = (fi2 >= start) & (fi2 < start + n)
+        old = out_ref[0, pl.ds(row, 2), :]
+        out_ref[0, pl.ds(row, 2), :] = jnp.where(m, v2, old)
 
-        if mode == "nocopy":          # timing-only: parse cost alone
-            return
+    def gather8(w, idx2):
+        """val[r, j] = w[0, idx2[r, j]] for the first 2 rows (Mosaic's
+        dynamic_gather wants equal operand/index shapes; (8, 128) is
+        the native tile)."""
+        idx8 = jnp.clip(jnp.concatenate(
+            [idx2, jnp.zeros((6, LANES), jnp.int32)]), 0, LANES - 1)
+        return jnp.take_along_axis(
+            jnp.broadcast_to(w, (8, LANES)), idx8, axis=1)[0:2, :]
+
+    def copy_long(src_ref, src_rmax, src0, dst0, length, off):
+        """Row-walking fallback for copies > 128 bytes. off==0 → plain
+        forward copy; 0<off<128 → periodic pattern from a seed window
+        (chunks of 128 are safe for off >= 128: every chunk's source
+        precedes its dest)."""
+        pat_w = window(src_ref, src0, src_rmax)
+        small = (off > 0) & (off < LANES)
 
         def body(st):
             cur, rem = st
             row = cur // LANES
             start = cur % LANES
             n = jnp.minimum(LANES - start, rem)
-            # straight path: bytes src..src+n land at lanes start.. —
-            # window at the true source cursor (always >= 0), then
-            # rotate into lane position (reading at src-start instead
-            # would clamp negative near the buffer head and misalign)
             w = pltpu.roll(
                 window(src_ref, src0 + (cur - dst0), src_rmax), start, 1)
-            # periodic path: lane j holds src[(cur - start + j - src0)
-            # mod off] — dest-anchored so the whole row shares one phase
             offs = jnp.maximum(off, 1)
             c0 = jnp.where(small, (cur - start - src0) % offs, 0)
             idx = (c0 + lane) % offs
-            # Mosaic's dynamic_gather wants operand/index shapes equal
-            # (2D, lane-local); (8, 128) is the native VPU tile
             pv = jnp.take_along_axis(
                 jnp.broadcast_to(pat_w, (8, LANES)),
                 jnp.broadcast_to(jnp.clip(idx, 0, LANES - 1), (8, LANES)),
@@ -140,32 +156,61 @@ def _decode_kernel(len_ref, comp_ref, out_ref, olen_ref, err_ref, *,
     def seq_body(st):
         p, o, err, done = st
         w = window(comp_ref, p, r_in)
-        tok = at(w, 0)
+        tok = w[0, 0]
         litnib = tok >> 4
-        # literal length (255-chain vectorized; the common short case
-        # never loops)
-        extra, nb = ext_len(p + 1, litnib == 15)
-        litlen = jnp.where(litnib == 15, 15 + extra, litnib)
-        lit_start = jnp.where(litnib == 15, p + 1 + nb, p + 1)
-        lit_end = lit_start + litlen
+        matnib = tok & 15
+        fast = (litnib < 15) & (matnib < 15)
+
+        def parse_fast(_):
+            lit_start = p + 1
+            lit_end = lit_start + litnib
+            e = pltpu.roll(w, -(1 + litnib), 1)
+            offset = e[0, 0] | (e[0, 1] << 8)
+            return (litnib, lit_start, lit_end, offset,
+                    jnp.int32(MINMATCH) + matnib, lit_end + 2)
+
+        def parse_slow(_):
+            extra, nb = ext_len(p + 1, litnib == 15)
+            litlen = jnp.where(litnib == 15, 15 + extra, litnib)
+            lit_start = jnp.where(litnib == 15, p + 1 + nb, p + 1)
+            lit_end = lit_start + litlen
+            w2 = window(comp_ref, lit_end, r_in)
+            offset = w2[0, 0] | (w2[0, 1] << 8)
+            extra2, nb2 = ext_len(lit_end + 2,
+                                  (lit_end < M) & (matnib == 15))
+            mlen = MINMATCH + jnp.where(matnib == 15, 15 + extra2, matnib)
+            next_p = jnp.where(matnib == 15, lit_end + 2 + nb2, lit_end + 2)
+            return litlen, lit_start, lit_end, offset, mlen, next_p
+
+        litlen, lit_start, lit_end, offset, mlen, next_p = jax.lax.cond(
+            fast, parse_fast, parse_slow, 0)
+
         is_last = lit_end >= M
-        # parsing restrictions — mirrors decode_jax._parse_tokens
+        # parsing restrictions — mirror decode_jax._parse_tokens
         # (reference analog lz4.c:2279-2318)
-        bad_last = is_last & (lit_end != M)
-        ow = jnp.int32(cap_out)
-        err = err | bad_last | ((o + litlen) > ow)
-        copy_span(comp_ref, r_in, lit_start,
-                  jnp.where(err, jnp.int32(0), o),
-                  jnp.where(err, jnp.int32(0), litlen), jnp.int32(0))
+        err = err | (is_last & (lit_end != M)) | ((o + litlen) > ow)
+
+        # ---- literal copy ------------------------------------------------
+        if mode != "nocopy":
+            do_lit = ~err & (litlen > 0)
+            # short path: the literal bytes live inside w (lit_start-p
+            # + litlen <= 128); value slab = w rolled into position
+            d = lit_start - p
+            lit_short = (d + litlen) <= LANES
+
+            @pl.when(do_lit & lit_short)
+            def _():
+                start = o % LANES
+                rolled = pltpu.roll(w, start - d, 1)
+                rmw_short(jnp.broadcast_to(rolled, (2, LANES)), o, litlen)
+
+            @pl.when(do_lit & ~lit_short)
+            def _():
+                copy_long(comp_ref, r_in, lit_start, o, litlen,
+                          jnp.int32(0))
         o_mid = o + litlen
 
-        # match half (absent on the last sequence)
-        w2 = window(comp_ref, lit_end, r_in)
-        offset = at(w2, 0) | (at(w2, 1) << 8)
-        matnib = tok & 15
-        extra2, nb2 = ext_len(lit_end + 2, ~is_last & (matnib == 15))
-        mlen = MINMATCH + jnp.where(matnib == 15, 15 + extra2, matnib)
-        next_p = jnp.where(matnib == 15, lit_end + 2 + nb2, lit_end + 2)
+        # ---- match half (absent on the last sequence) ---------------------
         bad_mid = (next_p > M) | (offset == 0) | (lit_end > M - 8)
         err = err | (~is_last & ~done & bad_mid)
         do_match = ~is_last & ~err & ~done
@@ -173,9 +218,28 @@ def _decode_kernel(len_ref, comp_ref, out_ref, olen_ref, err_ref, *,
         err = err | (do_match & ((o_mid + mlen) > ow))
         err = err | (do_match & (o_mid > ow - 12))
         do_match = do_match & ~err
-        copy_span(out_ref, r_out, jnp.where(do_match, o_mid - offset, 0),
-                  jnp.where(do_match, o_mid, 0),
-                  jnp.where(do_match, mlen, 0), offset)
+
+        if mode != "nocopy":
+            small = offset < LANES
+            src0 = o_mid - offset
+
+            @pl.when(do_match & (mlen <= LANES))
+            def _():
+                # one window + one gather + one RMW: pattern index for
+                # overlap matches, straight index otherwise
+                w_m = window(out_ref, src0, r_out)
+                start = o_mid % LANES
+                rowbase = o_mid - start
+                offs = jnp.maximum(offset, 1)
+                idx_p = (rowbase + fi2 - src0) % offs
+                idx_s = rowbase + fi2 - o_mid
+                v2 = gather8(w_m, jnp.where(small, idx_p, idx_s))
+                rmw_short(v2, o_mid, mlen)
+
+            @pl.when(do_match & (mlen > LANES))
+            def _():
+                copy_long(out_ref, r_out, src0, o_mid, mlen, offset)
+
         o_next = jnp.where(do_match, o_mid + mlen,
                            jnp.where(err, o, o_mid))
         done = done | is_last | err
