@@ -8,14 +8,17 @@ sequentially in VMEM exactly like the reference's hot loop
 (LZ4_decompress_generic, lz4.c:2022-2445), with the TPU twist that
 every copy is a 128-lane vector op:
 
-  * the compressed and output blocks live in VMEM as one-byte-per-lane
-    int32 arrays (R, 128) — 8-bit tiling constraints never apply;
+  * parsing runs on the SCALAR unit: the compressed block is passed a
+    second time as 4-bytes-per-int32 words in SMEM, and token/length/
+    offset reads are plain scalar loads + shifts — measured ~12 cycles
+    per byte extract (tools/session_pallas_probe3.py), an order of
+    magnitude under any vector-extract scheme. This mirrors the
+    reference's scalar hot loop (lz4.c:2022-2445) directly;
+  * the output block lives in VMEM as a one-byte-per-lane int32 array
+    (R, 128) — 8-bit tiling constraints never apply — and the VPU only
+    ever runs COPIES:
   * a "window read" fetches 128 consecutive bytes at ANY byte offset:
     one (2, 128) two-row load + two lane rolls + a select;
-  * the COMMON sequence (litnib < 15, matnib < 15 — the reference's
-    16/18-byte shortcut, lz4.c:2213-2262) parses entirely from that
-    one window: scalars come off lane rolls + static extracts, no
-    reductions, no loads;
   * short copies (<= 128 bytes, the overwhelming majority) are ONE
     masked read-modify-write of a (2, 128) slab — the analog of the
     reference's wildCopy8/32 (lz4.c:463-572); long copies fall back to
@@ -50,20 +53,26 @@ except Exception:  # pragma: no cover
 LANES = 128
 
 
-def _decode_kernel(len_ref, comp_ref, out_ref, olen_ref, err_ref, *,
-                   cap_out: int, r_in: int, r_out: int,
+def _decode_kernel(len_ref, words_ref, comp_ref, out_ref, olen_ref,
+                   err_ref, *, cap_out: int, r_in: int, r_out: int,
                    mode: str = "full"):
-    """One block per grid step. comp_ref: (1, r_in, 128) int32 bytes;
+    """One block per grid step. words_ref: (1, 1, W) int32 SMEM — the
+    compressed bytes packed 4/word little-endian (scalar parse side);
+    comp_ref: (1, r_in, 128) int32 bytes VMEM (literal copy side);
     out_ref: (1, r_out, 128) int32 bytes; len/olen/err: SMEM scalars."""
     b = pl.program_id(0)
     M = len_ref[b]
+    n_words = r_in * LANES // 4
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     # flat byte index over a (2, 128) slab
     fi2 = (jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 1)
            + LANES * jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 0))
-    fi8 = (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
-           + LANES * jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0))
     ow = jnp.int32(cap_out)
+
+    def rbyte(q):
+        """Scalar byte read from the packed SMEM copy (clamped)."""
+        q = jnp.clip(q, 0, 4 * n_words - 1)
+        return (words_ref[0, 0, q >> 2] >> (8 * (q & 3))) & 255
 
     def window(ref, pos, rmax):
         """128 consecutive bytes of ref starting at byte pos (clamped);
@@ -78,29 +87,18 @@ def _decode_kernel(len_ref, comp_ref, out_ref, olen_ref, err_ref, *,
         r1 = pltpu.roll(slab[1:2, :], -l, 1)
         return jnp.where(lane < LANES - l, r0, r1)       # (1, 128)
 
-    def ext(w, k):
-        """Scalar byte k (dynamic, 0..127) of a window: roll + static
-        lane-0 extract (no tree reduction)."""
-        return pltpu.roll(w, -k, 1)[0, 0]
-
     def ext_len(pos, enable):
-        """Resolve a 255-chain starting at pos: returns (extra, n_bytes)
-        — extra = 255*k + comp[pos+k] where k = first non-255 index.
-        Vectorized over the window; loops only for chains > 127 bytes
-        (a 64 KB block's worst chain is 258 bytes). enable=False runs
-        zero iterations."""
+        """Resolve a 255-chain: scalar loads until a byte != 255.
+        Returns (total extra, end position past the chain). enable=False
+        runs zero iterations (nibble < 15 costs nothing)."""
         def body(st):
-            acc, q, _go = st
-            w = window(comp_ref, q, r_in)
-            k = jnp.min(jnp.where(w != 255, lane, LANES))
-            hit = k < LANES
-            acc = acc + 255 * k \
-                + jnp.where(hit, ext(w, jnp.minimum(k, LANES - 1)), 0)
-            return acc, q + jnp.where(hit, k + 1, jnp.int32(LANES)), ~hit
+            q, acc, _go = st
+            v = rbyte(q)
+            return q + 1, acc + v, v == 255
 
-        acc, q, _ = jax.lax.while_loop(
-            lambda st: st[2], body, (jnp.int32(0), pos, enable))
-        return acc, q - pos
+        q, acc, _ = jax.lax.while_loop(
+            lambda st: st[2], body, (pos, jnp.int32(0), enable))
+        return acc, q
 
     def rmw_short(v2, dst, n):
         """Write bytes dst..dst+n-1 (n <= 128) from the (2, 128) value
@@ -155,35 +153,19 @@ def _decode_kernel(len_ref, comp_ref, out_ref, olen_ref, err_ref, *,
 
     def seq_body(st):
         p, o, err, done = st
-        w = window(comp_ref, p, r_in)
-        tok = w[0, 0]
+        # ---- scalar parse (SMEM loads only; lz4.c:2279-2335) -------------
+        tok = rbyte(p)
         litnib = tok >> 4
         matnib = tok & 15
-        fast = (litnib < 15) & (matnib < 15)
-
-        def parse_fast(_):
-            lit_start = p + 1
-            lit_end = lit_start + litnib
-            e = pltpu.roll(w, -(1 + litnib), 1)
-            offset = e[0, 0] | (e[0, 1] << 8)
-            return (litnib, lit_start, lit_end, offset,
-                    jnp.int32(MINMATCH) + matnib, lit_end + 2)
-
-        def parse_slow(_):
-            extra, nb = ext_len(p + 1, litnib == 15)
-            litlen = jnp.where(litnib == 15, 15 + extra, litnib)
-            lit_start = jnp.where(litnib == 15, p + 1 + nb, p + 1)
-            lit_end = lit_start + litlen
-            w2 = window(comp_ref, lit_end, r_in)
-            offset = w2[0, 0] | (w2[0, 1] << 8)
-            extra2, nb2 = ext_len(lit_end + 2,
-                                  (lit_end < M) & (matnib == 15))
-            mlen = MINMATCH + jnp.where(matnib == 15, 15 + extra2, matnib)
-            next_p = jnp.where(matnib == 15, lit_end + 2 + nb2, lit_end + 2)
-            return litlen, lit_start, lit_end, offset, mlen, next_p
-
-        litlen, lit_start, lit_end, offset, mlen, next_p = jax.lax.cond(
-            fast, parse_fast, parse_slow, 0)
+        extra, q = ext_len(p + 1, litnib == 15)
+        litlen = jnp.where(litnib == 15, 15 + extra, litnib)
+        lit_start = q
+        lit_end = lit_start + litlen
+        offset = rbyte(lit_end) | (rbyte(lit_end + 1) << 8)
+        extra2, q2 = ext_len(lit_end + 2,
+                             (lit_end < M) & (matnib == 15))
+        mlen = MINMATCH + jnp.where(matnib == 15, 15 + extra2, matnib)
+        next_p = jnp.where(matnib == 15, q2, lit_end + 2)
 
         is_last = lit_end >= M
         # parsing restrictions — mirror decode_jax._parse_tokens
@@ -193,15 +175,15 @@ def _decode_kernel(len_ref, comp_ref, out_ref, olen_ref, err_ref, *,
         # ---- literal copy ------------------------------------------------
         if mode != "nocopy":
             do_lit = ~err & (litlen > 0)
-            # short path: the literal bytes live inside w (lit_start-p
-            # + litlen <= 128); value slab = w rolled into position
-            d = lit_start - p
-            lit_short = (d + litlen) <= LANES
+            # short path: one comp window at lit_start, rolled into dest
+            # phase (the mod-128 wrap makes the (2,128) broadcast exact)
+            lit_short = litlen <= LANES
 
             @pl.when(do_lit & lit_short)
             def _():
                 start = o % LANES
-                rolled = pltpu.roll(w, start - d, 1)
+                wl = window(comp_ref, lit_start, r_in)
+                rolled = pltpu.roll(wl, start, 1)
                 rmw_short(jnp.broadcast_to(rolled, (2, LANES)), o, litlen)
 
             @pl.when(do_lit & ~lit_short)
@@ -264,6 +246,12 @@ def _decode_pallas_raw(comp32, comp_lens, *, cap_out: int,
     B, r_in, _ = comp32.shape
     r_out = -(-cap_out // LANES) + 2
     r_out += (-r_out) % 8
+    # scalar-parse copy: the same bytes packed 4/word little-endian,
+    # one (1, 1, W) SMEM block per grid step
+    W = r_in * LANES // 4
+    b4 = comp32.reshape(B, 1, W, 4)
+    words = (b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16)
+             | (b4[..., 3] << 24))
     kern = functools.partial(_decode_kernel, cap_out=cap_out,
                              r_in=r_in, r_out=r_out, mode=mode)
     out, olen, errs = pl.pallas_call(
@@ -271,6 +259,8 @@ def _decode_pallas_raw(comp32, comp_lens, *, cap_out: int,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, r_in, LANES), lambda i: (i, 0, 0)),
         ],
         out_specs=[
@@ -286,7 +276,7 @@ def _decode_pallas_raw(comp32, comp_lens, *, cap_out: int,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(comp_lens.astype(jnp.int32), comp32)
+    )(comp_lens.astype(jnp.int32), words, comp32)
     flat = out.reshape(B, r_out * LANES)[:, :cap_out].astype(jnp.uint8)
     return flat, olen, errs
 
