@@ -157,8 +157,25 @@ def main() -> None:
 
     cap_in = comp_np.shape[1]
 
+    # no-dict decode rides the Pallas serial-block kernel on a real
+    # chip (scalar parse + vector wildcopies; block/decode_pallas.py) —
+    # measured ~6x the sort/scan decode graphs, seconds to compile
+    use_pallas = (jax.devices()[0].platform == "tpu"
+                  and os.environ.get("LZ4_TPU_PALLAS_DECODE", "1") != "0")
+    if use_pallas:
+        from lz4_tpu.block.decode_pallas import decode_blocks_pallas
+
     def dec_any(cj, lj):
         outs, lens_o, errs_o = [], [], []
+        if use_pallas:
+            for i in range(0, B, CHUNK):
+                o_, l_, e_ = decode_blocks_pallas(
+                    cj[i: i + CHUNK], lj[i: i + CHUNK], cap_out=bs,
+                    interpret=False)
+                outs.append(o_)
+                lens_o.append(l_)
+                errs_o.append(e_)
+            return outs, jnp.concatenate(lens_o), jnp.concatenate(errs_o)
         for i in range(0, B, group):
             if use_scan:
                 o3, l3, e3 = decode_corpus(

@@ -201,21 +201,29 @@ def _decode_kernel(len_ref, words_ref, comp_ref, out_ref, olen_ref,
         err = err | (do_match & (o_mid > ow - 12))
         do_match = do_match & ~err
 
-        if mode != "nocopy":
+        if mode not in ("nocopy", "litonly"):
             small = offset < LANES
             src0 = o_mid - offset
 
-            @pl.when(do_match & (mlen <= LANES))
+            @pl.when(do_match & (mlen <= LANES) & ~small)
             def _():
-                # one window + one gather + one RMW: pattern index for
-                # overlap matches, straight index otherwise
+                # far match (no overlap inside the slab): exactly the
+                # literal path — window at src0 rolled into dest phase
+                start = o_mid % LANES
+                w_m = window(out_ref, src0, r_out)
+                rolled = pltpu.roll(w_m, start, 1)
+                rmw_short(jnp.broadcast_to(rolled, (2, LANES)),
+                          o_mid, mlen)
+
+            @pl.when(do_match & (mlen <= LANES) & small)
+            def _():
+                # overlap match: periodic pattern via lane-local gather
                 w_m = window(out_ref, src0, r_out)
                 start = o_mid % LANES
                 rowbase = o_mid - start
                 offs = jnp.maximum(offset, 1)
                 idx_p = (rowbase + fi2 - src0) % offs
-                idx_s = rowbase + fi2 - o_mid
-                v2 = gather8(w_m, jnp.where(small, idx_p, idx_s))
+                v2 = gather8(w_m, idx_p)
                 rmw_short(v2, o_mid, mlen)
 
             @pl.when(do_match & (mlen > LANES))
