@@ -91,8 +91,27 @@ def main() -> None:
     if use_scan:
         from lz4_tpu.block.corpus import decode_corpus, encode_corpus
 
+    # the fast tier rides the Pallas serial kernels on a real chip
+    # (block/encode_pallas.py, block/decode_pallas.py): measured ~1.6x /
+    # ~6x the sort/scan graphs with second-scale compiles
+    use_pallas_enc = (jax.devices()[0].platform == "tpu"
+                      and os.environ.get("LZ4_TPU_PALLAS_ENCODE", "1")
+                      != "0")
+    if use_pallas_enc:
+        from lz4_tpu.block.encode_pallas import encode_blocks_pallas
+        accel = int(os.environ.get("LZ4_TPU_BENCH_ACCEL", "1"))
+
     def enc():
         outs, sizes = [], []
+        if use_pallas_enc:
+            lens_c = lens[:CHUNK]
+            for i in range(0, B, CHUNK):
+                out, csizes, _ = encode_blocks_pallas(
+                    src[i: i + CHUNK], lens_c, cap_n=bs,
+                    acceleration=accel, interpret=False)
+                outs.append(out)
+                sizes.append(csizes)
+            return outs[-1], jnp.concatenate(sizes), outs
         for i in range(0, B, group):
             if use_scan:
                 out3, cs3, _ = encode_corpus(

@@ -289,6 +289,11 @@ class TpuBackend:
         # on-chip with second-scale compiles (tools/session_pallas_decode)
         self.pallas_decode = bool(int(os.environ.get(
             "LZ4_TPU_PALLAS_DECODE", "1")))
+        # no-dict fast-tier encode rides the Pallas serial kernel
+        # (block/encode_pallas.py): 1.6-2x the sort/scan graphs on-chip,
+        # second-scale compiles, real --fast support
+        self.pallas_encode = bool(int(os.environ.get(
+            "LZ4_TPU_PALLAS_ENCODE", "1")))
 
     def _host(self):
         from lz4_tpu.block.backend import HostBackend
@@ -310,7 +315,8 @@ class TpuBackend:
     HC_N_CAND = 8
 
     def _device_encode_padded(self, blocks, dict_prefixes, *, cap_n,
-                              has_dict, n_cand, lazy, lite=False):
+                              has_dict, n_cand, lazy, lite=False,
+                              acceleration=1):
         """Pad + batch + dispatch fixed-shape encode chunks; returns
         (list[bytes] streams, list[int] trailing literal runs)."""
         B = self._round_batch(len(blocks))
@@ -328,11 +334,28 @@ class TpuBackend:
                     dict_bufs[i, DICT_CAP - len(d):] = np.frombuffer(
                         d, np.uint8)
                     dict_lens[i] = len(d)
+        # fast tier (no dict, no HC scoring) rides the Pallas serial
+        # kernel on a real chip: measured 38.9 MB/s accel=1 / 51.5
+        # accel=8 vs 24 for the sort/scan graphs, 0.991x reference size
+        # (tools/session_pallas_encode.py). Acceleration buckets to
+        # powers of two to bound the compiled-program set.
+        use_pallas = (not has_dict and not lazy and n_cand <= 2
+                      and self.pallas_encode and self.codec is None
+                      and jax.devices()[0].platform == "tpu")
+        if use_pallas:
+            from lz4_tpu.block.encode_pallas import encode_blocks_pallas
+            accel_b = 1 << min(6, max(0, int(acceleration) - 1)
+                               .bit_length())  # 1,2,4,...,64
+            accel_b = accel_b if acceleration > 1 else 1
         unit = self._unit()
         outs, sizes, trails = [], [], []
         for i in range(0, B, unit):      # fixed-shape dispatches, pipelined
             sl = slice(i, i + unit)
-            if self.codec is not None:
+            if use_pallas:
+                o, cs, tr = encode_blocks_pallas(
+                    jnp.asarray(src[sl]), jnp.asarray(lens[sl]),
+                    cap_n=cap_n, acceleration=accel_b, interpret=False)
+            elif self.codec is not None:
                 o, cs, tr = self.codec.encode(
                     src[sl], lens[sl], dict_bufs[sl], dict_lens[sl],
                     cap_n=cap_n, has_dict=has_dict, n_cand=n_cand,
@@ -412,7 +435,8 @@ class TpuBackend:
                 blocks, dict_prefixes, n_cand=n_cand, lazy=lazy, lite=lite)
         out, _ = self._device_encode_padded(
             blocks, dict_prefixes, cap_n=_pad_cap(mx), has_dict=has_dict,
-            n_cand=n_cand, lazy=lazy, lite=lite)
+            n_cand=n_cand, lazy=lazy, lite=lite,
+            acceleration=acceleration)
         return out
 
     def decompress_batch(self, blocks, max_outs, *, dict_prefixes=None):

@@ -1,0 +1,91 @@
+"""Pallas serial-block encoder: correctness + format validity
+(interpret mode on the forced-CPU suite; the same kernel lowers via
+Mosaic on TPU — tools/session_pallas_encode.py is the on-device run)."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from lz4_tpu import native  # noqa: E402
+from lz4_tpu.block.encode_pallas import encode_blocks_pallas  # noqa: E402
+from lz4_tpu.block.ref_codec import decompress_block  # noqa: E402
+from lz4_tpu.constants import compress_bound  # noqa: E402
+from lz4_tpu.utils.datagen import gen_buffer, gen_text  # noqa: E402
+
+
+def _encode(srcs, cap_n, acceleration=1):
+    B = len(srcs)
+    arr = np.zeros((B, cap_n), np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i, s in enumerate(srcs):
+        arr[i, : len(s)] = np.frombuffer(s, np.uint8)
+        lens[i] = len(s)
+    out, cs, tr = encode_blocks_pallas(
+        jnp.asarray(arr), jnp.asarray(lens), cap_n=cap_n,
+        acceleration=acceleration)
+    out, cs, tr = np.asarray(out), np.asarray(cs), np.asarray(tr)
+    return [out[i, : cs[i]].tobytes() for i in range(B)], cs, tr
+
+
+def test_roundtrip_corpora():
+    rng = np.random.default_rng(6)
+    srcs = []
+    for n in (1, 12, 13, 64, 300, 1024, 4096, 8000):
+        srcs += [gen_text(n, seed=n), gen_buffer(n, match_prob=0.6, seed=n),
+                 b"\x00" * n, rng.bytes(n)]
+    srcs += [b"ab" * 4000, bytes(range(256)) * 30, b""]
+    comp, cs, tr = _encode(srcs, cap_n=8192)
+    for i, s in enumerate(srcs):
+        # independent oracles: host C decoder + numpy reference decoder
+        assert native.blockcodec.decompress_batch(
+            [comp[i]], [len(s)])[0] == s, i
+        got = decompress_block(comp[i], len(s))
+        assert got == s, i
+        assert len(comp[i]) <= compress_bound(len(s))
+
+
+def test_trailing_literal_run():
+    # trailing = length of the final literal run (engine seam folding
+    # relies on it)
+    srcs = [b"\x11" * 4000 + b"unique-tail-bytes!",
+            np.random.default_rng(0).bytes(500)]
+    comp, cs, tr = _encode(srcs, cap_n=8192)
+    for i, s in enumerate(srcs):
+        got = decompress_block(comp[i], len(s))
+        assert got == s
+        # the stream must end with exactly tr[i] literal bytes
+        assert tr[i] >= 5 or len(s) < 13
+        assert s[len(s) - tr[i]:] == got[len(s) - tr[i]:]
+
+
+def test_acceleration_trades_size():
+    src = gen_text(60000, seed=42)
+    c1, _, _ = _encode([src], cap_n=65536, acceleration=1)
+    c8, _, _ = _encode([src], cap_n=65536, acceleration=8)
+    got = decompress_block(c8[0], len(src))
+    assert got == src
+    # higher acceleration skips harder: never smaller output
+    assert len(c8[0]) >= len(c1[0])
+
+
+def test_size_parity_vs_host_greedy():
+    # the kernel mirrors native/blockcodec.c's greedy design; sizes on
+    # mixed real-ish corpora must stay within a whisker (the on-device
+    # grade vs the reference CLI lives in tools/session_pallas_encode)
+    srcs = [gen_text(49152, seed=1), gen_buffer(49152, 0.7, seed=2)]
+    comp, _, _ = _encode(srcs, cap_n=65536)
+    host = native.blockcodec.compress_batch(srcs)
+    for c, h in zip(comp, host):
+        assert len(c) <= int(len(h) * 1.01)
+
+
+def test_reference_cli_decodes_our_blocks():
+    import ref_oracle
+    if not ref_oracle.ensure_built():
+        pytest.skip("reference oracle unavailable")
+    srcs = [gen_text(30000, seed=9), b"\x00" * 20000,
+            np.random.default_rng(1).bytes(10000)]
+    comp, _, _ = _encode(srcs, cap_n=32768)
+    for c, s in zip(comp, srcs):
+        assert ref_oracle.ref_decompress_block(c, len(s)) == s
