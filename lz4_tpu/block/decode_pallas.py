@@ -53,13 +53,18 @@ except Exception:  # pragma: no cover
 LANES = 128
 
 
-def _decode_kernel(len_ref, words_ref, comp_ref, out_ref, olen_ref,
-                   err_ref, *, cap_out: int, r_in: int, r_out: int,
+def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
+                   out_ref, olen_ref, err_ref, *, cap_out: int,
+                   r_in: int, r_out: int, d0: int = 0,
                    mode: str = "full"):
     """One block per grid step. words_ref: (1, 1, W) int32 SMEM — the
     compressed bytes packed 4/word little-endian (scalar parse side);
     comp_ref: (1, r_in, 128) int32 bytes VMEM (literal copy side);
-    out_ref: (1, r_out, 128) int32 bytes; len/olen/err: SMEM scalars."""
+    out_ref: (1, r_out, 128) int32 bytes; len/olen/err: SMEM scalars.
+    d0 > 0 is dict/linked mode: dict_ref (1, d0//128, 128) holds the
+    right-aligned history, copied into the first output rows so match
+    sources reach it transparently (lz4.c:2461-2508 usingDict analog);
+    decoded bytes start at byte d0."""
     b = pl.program_id(0)
     M = len_ref[b]
     n_words = r_in * LANES // 4
@@ -67,7 +72,12 @@ def _decode_kernel(len_ref, words_ref, comp_ref, out_ref, olen_ref,
     # flat byte index over a (2, 128) slab
     fi2 = (jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 1)
            + LANES * jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 0))
-    ow = jnp.int32(cap_out)
+    ow = jnp.int32(d0 + cap_out)
+    if d0:
+        low = d0 - jnp.minimum(dlen_ref[b], d0)  # first valid history byte
+        out_ref[0, 0: d0 // LANES, :] = dict_ref[0]
+    else:
+        low = jnp.int32(0)
 
     def rbyte(q):
         """Scalar byte read from the packed SMEM copy (clamped)."""
@@ -169,7 +179,7 @@ def _decode_kernel(len_ref, words_ref, comp_ref, out_ref, olen_ref,
 
         is_last = lit_end >= M
         # parsing restrictions — mirror decode_jax._parse_tokens
-        # (reference analog lz4.c:2279-2318)
+        # (reference analog lz4.c:2279-2318); o is d0-based in dict mode
         err = err | (is_last & (lit_end != M)) | ((o + litlen) > ow)
 
         # ---- literal copy ------------------------------------------------
@@ -196,7 +206,7 @@ def _decode_kernel(len_ref, words_ref, comp_ref, out_ref, olen_ref,
         bad_mid = (next_p > M) | (offset == 0) | (lit_end > M - 8)
         err = err | (~is_last & ~done & bad_mid)
         do_match = ~is_last & ~err & ~done
-        err = err | (do_match & ((o_mid - offset) < 0))
+        err = err | (do_match & ((o_mid - offset) < low))
         err = err | (do_match & ((o_mid + mlen) > ow))
         err = err | (do_match & (o_mid > ow - 12))
         do_match = do_match & ~err
@@ -241,18 +251,18 @@ def _decode_kernel(len_ref, words_ref, comp_ref, out_ref, olen_ref,
 
     p, o, err, done = jax.lax.while_loop(
         seq_cond, seq_body,
-        (jnp.int32(0), jnp.int32(0), M < 0, M < 0))
+        (jnp.int32(0), jnp.int32(d0), M < 0, M < 0))
     err = err | ~done                    # truncated / endless stream
-    olen_ref[b] = jnp.where(err, 0, o)
+    olen_ref[b] = jnp.where(err, 0, o - d0)
     err_ref[b] = err.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("cap_out", "interpret",
-                                             "mode"))
-def _decode_pallas_raw(comp32, comp_lens, *, cap_out: int,
-                       interpret: bool, mode: str = "full"):
+                                             "mode", "d0"))
+def _decode_pallas_raw(comp32, comp_lens, dict32, dlens, *, cap_out: int,
+                       interpret: bool, mode: str = "full", d0: int = 0):
     B, r_in, _ = comp32.shape
-    r_out = -(-cap_out // LANES) + 2
+    r_out = -(-(d0 + cap_out) // LANES) + 2
     r_out += (-r_out) % 8
     # scalar-parse copy: the same bytes packed 4/word little-endian,
     # one (1, 1, W) SMEM block per grid step
@@ -261,15 +271,18 @@ def _decode_pallas_raw(comp32, comp_lens, *, cap_out: int,
     words = (b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16)
              | (b4[..., 3] << 24))
     kern = functools.partial(_decode_kernel, cap_out=cap_out,
-                             r_in=r_in, r_out=r_out, mode=mode)
+                             r_in=r_in, r_out=r_out, d0=d0, mode=mode)
     out, olen, errs = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, W), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, r_in, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, max(d0 // LANES, 1), LANES),
+                         lambda i: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, r_out, LANES), lambda i: (i, 0, 0)),
@@ -284,18 +297,22 @@ def _decode_pallas_raw(comp32, comp_lens, *, cap_out: int,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(comp_lens.astype(jnp.int32), words, comp32)
-    flat = out.reshape(B, r_out * LANES)[:, :cap_out].astype(jnp.uint8)
+    )(comp_lens.astype(jnp.int32), dlens.astype(jnp.int32), words,
+      comp32, dict32)
+    flat = out.reshape(B, r_out * LANES)[:, d0: d0 + cap_out] \
+        .astype(jnp.uint8)
     return flat, olen, errs
 
 
-def decode_blocks_pallas(comp, comp_lens, *, cap_out: int,
-                         interpret: bool | None = None,
+def decode_blocks_pallas(comp, comp_lens, dict_bufs=None, dict_lens=None,
+                         *, cap_out: int, interpret: bool | None = None,
                          mode: str = "full"):
-    """Batched block decode on the serial-kernel path (no-dict mode).
+    """Batched block decode on the serial-kernel path.
 
-    Same contract as decode_jax.decode_blocks(has_dict=False):
-    comp uint8[B, cap_in], comp_lens int32[B] →
+    Same contract as decode_jax.decode_blocks:
+    comp uint8[B, cap_in], comp_lens int32[B],
+    dict_bufs uint8[B, 65536] right-aligned history (or None),
+    dict_lens int32[B] →
     (out uint8[B, cap_out], out_lens int32[B], errs int32[B]).
     """
     if not _HAVE_PALLAS:  # pragma: no cover
@@ -308,5 +325,15 @@ def decode_blocks_pallas(comp, comp_lens, *, cap_out: int,
     pad = r_in * LANES - cap_in
     comp32 = jnp.pad(comp.astype(jnp.int32),
                      ((0, 0), (0, pad))).reshape(B, r_in, LANES)
-    return _decode_pallas_raw(comp32, comp_lens, cap_out=cap_out,
-                              interpret=bool(interpret), mode=mode)
+    has_dict = dict_bufs is not None
+    d0 = 65536 if has_dict else 0
+    if has_dict:
+        dict32 = dict_bufs.astype(jnp.int32).reshape(
+            B, d0 // LANES, LANES)
+        dlens = dict_lens
+    else:
+        dict32 = jnp.zeros((B, 1, LANES), jnp.int32)
+        dlens = jnp.zeros((B,), jnp.int32)
+    return _decode_pallas_raw(comp32, comp_lens, dict32, dlens,
+                              cap_out=cap_out, interpret=bool(interpret),
+                              mode=mode, d0=d0)

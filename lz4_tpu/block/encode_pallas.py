@@ -51,16 +51,21 @@ HASH_MUL = np.int32(np.uint32(2654435761))   # Knuth multiplier (format const)
 SKIP_TRIGGER = 6
 
 
-def _encode_kernel(len_ref, src_ref, out_ref, csize_ref, trail_ref,
-                   table, *, n_words: int, w_out: int,
-                   acceleration: int = 1):
+def _encode_kernel(len_ref, dlen_ref, src_ref, out_ref, csize_ref,
+                   trail_ref, table, *, n_words: int, w_out: int,
+                   d0: int, acceleration: int = 1, dict_stride: int = 1):
     """One block per grid step. src_ref: (1, 1, n_words) int32 SMEM
-    (bytes packed 4/word LE); out_ref: (1, 1, w_out) int32 SMEM;
-    csize/trail: SMEM scalars; table: (2^HASH_LOG,) int32 SMEM scratch."""
+    (bytes packed 4/word LE) laid out as [d0 history bytes | block];
+    out_ref: (1, 1, w_out) int32 SMEM; csize/trail: SMEM scalars;
+    table: (2^HASH_LOG,) int32 SMEM scratch. d0 > 0 is dict/linked mode
+    (lz4.c:1375-1459 usingExtDict analog): candidates may reach back
+    into the history window and matches span the boundary."""
     b = pl.program_id(0)
     n = len_ref[b]
-    mflimit = n - MFLIMIT                  # last pos a match may start at
-    matchlimit = n - LASTLITERALS          # match bytes end here
+    d = jnp.minimum(dlen_ref[b], d0) if d0 else jnp.int32(0)
+    low = d0 - d                           # first valid history byte
+    mflimit = d0 + n - MFLIMIT             # last pos a match may start at
+    matchlimit = d0 + n - LASTLITERALS     # match bytes end here
 
     def rbyte(q):
         q = jnp.clip(q, 0, 4 * n_words - 1)
@@ -133,15 +138,25 @@ def _encode_kernel(len_ref, src_ref, out_ref, csize_ref, trail_ref,
                                   (jnp.int32(0), maxn > 0))
         return c
 
+    # history pre-insert (linked/dict mode): hash the valid window so
+    # the parse can match into it — the reference's LZ4_loadDict /
+    # attach pattern (lz4.c:1375-1414)
+    if d0:
+        def dins(q):
+            table[hash4(read4(q))] = (b << 18) | q
+            return q + dict_stride
+
+        jax.lax.while_loop(lambda q: q < d0, dins, low)
+
     def parse_body(st):
         p, anchor, op, srch = st
         seq = read4(p)
         h = hash4(seq)
         e = table[h]
-        table[h] = (b << 17) | p
-        cand = e & 0x1FFFF
-        hit = ((jax.lax.shift_right_logical(e, 17) == b)
-               & (cand < p) & (p - cand <= 65535)
+        table[h] = (b << 18) | p
+        cand = e & 0x3FFFF
+        hit = ((jax.lax.shift_right_logical(e, 18) == b)
+               & (cand < p) & (cand >= low) & (p - cand <= 65535)
                & (read4(cand) == seq))
 
         def miss_fn(st):
@@ -158,7 +173,7 @@ def _encode_kernel(len_ref, src_ref, out_ref, csize_ref, trail_ref,
                 return p2 - 1, c2 - 1
 
             p2, cand2 = jax.lax.while_loop(
-                lambda st2: (st2[0] > anchor) & (st2[1] > 0)
+                lambda st2: (st2[0] > anchor) & (st2[1] > low)
                 & (rbyte(st2[0] - 1) == rbyte(st2[1] - 1)),
                 back, (p, cand))
             offset = p2 - cand2
@@ -181,7 +196,7 @@ def _encode_kernel(len_ref, src_ref, out_ref, csize_ref, trail_ref,
             # tail insert (blockcodec.c ip-2 pattern: denser table near
             # match ends measurably improves the next-match hit rate)
             t2 = p2 + ml - 2
-            table[hash4(read4(t2))] = (b << 17) | t2
+            table[hash4(read4(t2))] = (b << 18) | t2
             return (p2 + ml, p2 + ml, op2,
                     jnp.int32(acceleration << SKIP_TRIGGER))
 
@@ -189,11 +204,11 @@ def _encode_kernel(len_ref, src_ref, out_ref, csize_ref, trail_ref,
 
     p, anchor, op, _ = jax.lax.while_loop(
         lambda st: st[0] <= mflimit, parse_body,
-        (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        (jnp.int32(d0), jnp.int32(d0), jnp.int32(0),
          jnp.int32(acceleration << SKIP_TRIGGER)))
 
     # tail: the final literal run (>= LASTLITERALS bytes by construction)
-    litlen = jnp.maximum(n - anchor, 0)
+    litlen = jnp.maximum(d0 + n - anchor, 0)
     wbyte(op, jnp.minimum(litlen, 15) << 4)
     op = op + 1
     op = emit_len(op, litlen - 15, litlen >= 15)
@@ -204,19 +219,24 @@ def _encode_kernel(len_ref, src_ref, out_ref, csize_ref, trail_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("cap_n", "acceleration",
-                                             "interpret"))
-def _encode_pallas_raw(src32, lens, *, cap_n: int, acceleration: int,
-                       interpret: bool):
+                                             "interpret", "d0",
+                                             "dict_stride"))
+def _encode_pallas_raw(src32, lens, dlens, *, cap_n: int,
+                       acceleration: int, interpret: bool, d0: int,
+                       dict_stride: int):
     B, _, n_words = src32.shape
     bound = compress_bound(cap_n)
     w_out = -(-(bound + 4) // 4)
     w_out += (-w_out) % 128
     kern = functools.partial(_encode_kernel, n_words=n_words,
-                             w_out=w_out, acceleration=acceleration)
+                             w_out=w_out, d0=d0,
+                             acceleration=acceleration,
+                             dict_stride=dict_stride)
     out_w, csizes, trailing = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, n_words), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -236,7 +256,7 @@ def _encode_pallas_raw(src32, lens, *, cap_n: int, acceleration: int,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(lens.astype(jnp.int32), src32)
+    )(lens.astype(jnp.int32), dlens.astype(jnp.int32), src32)
     w = out_w.reshape(B, w_out)
     by = jnp.stack([w & 255, (w >> 8) & 255, (w >> 16) & 255,
                     jax.lax.shift_right_logical(w, 24) & 255], axis=-1)
@@ -244,12 +264,25 @@ def _encode_pallas_raw(src32, lens, *, cap_n: int, acceleration: int,
     return out, csizes, trailing
 
 
-def encode_blocks_pallas(src, lens, *, cap_n: int, acceleration: int = 1,
-                         interpret: bool | None = None):
-    """Batched no-dict block encode on the serial-kernel path.
+def _pack_words(bytes2d, n_words):
+    B, width = bytes2d.shape
+    s32 = jnp.pad(bytes2d.astype(jnp.int32),
+                  ((0, 0), (0, n_words * 4 - width)))
+    b4 = s32.reshape(B, 1, n_words, 4)
+    return (b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16)
+            | (b4[..., 3] << 24))
 
-    Same contract as encode_jax.encode_blocks(has_dict=False):
-    src uint8[B, cap_n], lens int32[B] →
+
+def encode_blocks_pallas(src, lens, dict_bufs=None, dict_lens=None, *,
+                         cap_n: int, acceleration: int = 1,
+                         interpret: bool | None = None,
+                         dict_stride: int = 1):
+    """Batched block encode on the serial-kernel path.
+
+    Same contract as encode_jax.encode_blocks:
+    src uint8[B, cap_n], lens int32[B],
+    dict_bufs uint8[B, 65536] right-aligned history (or None),
+    dict_lens int32[B] →
     (out uint8[B, compress_bound(cap_n)], csizes int32[B],
      trailing int32[B]).
     """
@@ -259,13 +292,19 @@ def encode_blocks_pallas(src, lens, *, cap_n: int, acceleration: int = 1,
         interpret = jax.devices()[0].platform == "cpu"
     B, width = src.shape
     assert width <= cap_n
-    n_words = -(-(cap_n + 2 * LANES) // 4)
+    has_dict = dict_bufs is not None
+    d0 = 65536 if has_dict else 0
+    n_words = -(-(d0 + cap_n + 2 * LANES) // 4)
     n_words += (-n_words) % 128
-    pad = n_words * 4 - width
-    s32 = jnp.pad(src.astype(jnp.int32), ((0, 0), (0, pad)))
-    b4 = s32.reshape(B, 1, n_words, 4)
-    words = (b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16)
-             | (b4[..., 3] << 24))
-    return _encode_pallas_raw(words, lens, cap_n=cap_n,
+    if has_dict:
+        full = jnp.concatenate(
+            [dict_bufs.astype(jnp.uint8), src.astype(jnp.uint8)], axis=1)
+        dlens = dict_lens
+    else:
+        full = src
+        dlens = jnp.zeros((B,), jnp.int32)
+    words = _pack_words(full, n_words)
+    return _encode_pallas_raw(words, lens, dlens, cap_n=cap_n,
                               acceleration=int(acceleration),
-                              interpret=bool(interpret))
+                              interpret=bool(interpret), d0=d0,
+                              dict_stride=int(dict_stride))

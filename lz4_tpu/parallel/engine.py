@@ -334,12 +334,14 @@ class TpuBackend:
                     dict_bufs[i, DICT_CAP - len(d):] = np.frombuffer(
                         d, np.uint8)
                     dict_lens[i] = len(d)
-        # fast tier (no dict, no HC scoring) rides the Pallas serial
-        # kernel on a real chip: measured 38.9 MB/s accel=1 / 51.5
-        # accel=8 vs 24 for the sort/scan graphs, 0.991x reference size
-        # (tools/session_pallas_encode.py). Acceleration buckets to
-        # powers of two to bound the compiled-program set.
-        use_pallas = (not has_dict and not lazy and n_cand <= 2
+        # fast tier (no HC scoring) rides the Pallas serial kernel on a
+        # real chip: measured 38.9 MB/s accel=1 / 51.5 accel=8 vs 24 for
+        # the sort/scan graphs, 0.991x reference size
+        # (tools/session_pallas_encode.py); linked/dict mode hashes the
+        # history window in-kernel instead of the 85-min has_dict XLA
+        # compile. Acceleration buckets to powers of two to bound the
+        # compiled-program set.
+        use_pallas = (not lazy and n_cand <= 2
                       and self.pallas_encode and self.codec is None
                       and jax.devices()[0].platform == "tpu")
         if use_pallas:
@@ -354,6 +356,8 @@ class TpuBackend:
             if use_pallas:
                 o, cs, tr = encode_blocks_pallas(
                     jnp.asarray(src[sl]), jnp.asarray(lens[sl]),
+                    jnp.asarray(dict_bufs[sl]) if has_dict else None,
+                    jnp.asarray(dict_lens[sl]) if has_dict else None,
                     cap_n=cap_n, acceleration=accel_b, interpret=False)
             elif self.codec is not None:
                 o, cs, tr = self.codec.encode(
@@ -493,10 +497,11 @@ class TpuBackend:
                  np.zeros((B - dict_bufs.shape[0], DCAP), np.uint8)])
             dict_lens = np.concatenate(
                 [dict_lens, np.zeros(B - dict_lens.shape[0], np.int32)])
-        # serial-kernel route: no-dict blocks on a real TPU decode via
-        # the Pallas wildcopy kernel (scalar parse + vector copies) —
-        # VMEM-bounded to the <= 1 MB tiers
-        use_pallas = (not has_dict and self.pallas_decode
+        # serial-kernel route: single-chip TPU decode via the Pallas
+        # wildcopy kernel (scalar parse + vector copies; dict/linked
+        # history rides as a VMEM prefix) — VMEM-bounded to the <= 1 MB
+        # tiers
+        use_pallas = (self.pallas_decode
                       and self.codec is None and cap_out <= (1 << 20)
                       and jax.devices()[0].platform == "tpu")
         if use_pallas:
@@ -507,6 +512,8 @@ class TpuBackend:
             if use_pallas:
                 o, ol, oe = decode_blocks_pallas(
                     jnp.asarray(comp[sl]), jnp.asarray(lens[sl]),
+                    jnp.asarray(dict_bufs[sl]) if has_dict else None,
+                    jnp.asarray(dict_lens[sl]) if has_dict else None,
                     cap_out=cap_out, interpret=False)
             elif self.codec is not None:
                 o, ol, oe = self.codec.decode(

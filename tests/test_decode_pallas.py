@@ -86,3 +86,33 @@ def test_error_parity_vs_sortscan():
             assert p_len[i] == j_len[i]
             assert (p_out[i, : p_len[i]].tobytes()
                     == j_out[i, : j_len[i]].tobytes())
+
+
+def test_dict_linked_decode():
+    # streams produced by the numpy dict encoder decode with history
+    from lz4_tpu.block.ref_codec import compress_block
+    from lz4_tpu.utils.datagen import gen_text as _gt
+    DC = 65536
+    whole = np.frombuffer(_gt(16000, seed=77), np.uint8)
+    n1 = 7000
+    b2 = whole[n1:]
+    n2 = len(b2)
+    d = min(n1, DC)
+    hist = whole[n1 - d: n1].tobytes()
+    comp = compress_block(b2.tobytes(), dict_prefix=hist)
+    dict_np = np.zeros((1, DC), np.uint8)
+    dict_np[0, DC - d:] = np.frombuffer(hist, np.uint8)
+    cj = np.zeros((1, len(comp) + 256), np.uint8)
+    cj[0, : len(comp)] = np.frombuffer(comp, np.uint8)
+    out, olen, errs = decode_blocks_pallas(
+        jnp.asarray(cj), jnp.asarray([len(comp)], np.int32),
+        jnp.asarray(dict_np), jnp.asarray([d], np.int32), cap_out=16384)
+    assert not np.asarray(errs)[0]
+    assert int(np.asarray(olen)[0]) == n2
+    assert np.asarray(out)[0, :n2].tobytes() == b2.tobytes()
+    # without the dict the same stream must flag an error (offsets
+    # reach before the block start)
+    o2, l2, e2 = decode_blocks_pallas(
+        jnp.asarray(cj), jnp.asarray([len(comp)], np.int32),
+        cap_out=16384)
+    assert np.asarray(e2)[0] == 1

@@ -89,3 +89,33 @@ def test_reference_cli_decodes_our_blocks():
     comp, _, _ = _encode(srcs, cap_n=32768)
     for c, s in zip(comp, srcs):
         assert ref_oracle.ref_decompress_block(c, len(s)) == s
+
+
+def test_dict_linked_roundtrip():
+    # linked mode: block 2 sees block 1 as history; validated against
+    # the numpy oracle decoder with the same dict
+    from lz4_tpu.block.ref_codec import compress_block
+    DC = 65536
+    for seed in (0, 1, 2):
+        whole = np.frombuffer(gen_text(12000, seed=seed), np.uint8)
+        n1 = 5000
+        b2 = whole[n1:]
+        n2 = len(b2)
+        d = min(n1, DC)
+        dict_np = np.zeros((1, DC), np.uint8)
+        dict_np[0, DC - d:] = whole[n1 - d: n1]
+        cap = 16384
+        s = np.zeros((1, cap), np.uint8)
+        s[0, :n2] = b2
+        out, cs, _ = encode_blocks_pallas(
+            jnp.asarray(s), jnp.asarray([n2], np.int32),
+            jnp.asarray(dict_np), jnp.asarray([d], np.int32), cap_n=cap)
+        comp = np.asarray(out)[0, : int(np.asarray(cs)[0])].tobytes()
+        got = decompress_block(comp, n2,
+                               dict_prefix=whole[n1 - d: n1].tobytes())
+        assert got == b2.tobytes()
+        # cross-boundary matches must actually fire: linked stream is
+        # smaller than the no-dict one on text
+        out0, cs0, _ = encode_blocks_pallas(
+            jnp.asarray(s), jnp.asarray([n2], np.int32), cap_n=cap)
+        assert int(np.asarray(cs)[0]) < int(np.asarray(cs0)[0])

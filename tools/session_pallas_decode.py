@@ -55,8 +55,31 @@ def main() -> None:
     log(event="start", device=str(jax.devices()[0].platform), blocks=K,
         B=B)
 
-    hblocks = native.blockcodec.compress_batch(
-        [data[i * bs: (i + 1) * bs] for i in range(K)])
+    linked = "--linked" in sys.argv
+    if linked:
+        # produce linked streams with the Pallas encoder itself (each
+        # block's history = previous block), then decode them with the
+        # dict-mode kernel
+        from lz4_tpu.block.encode_pallas import encode_blocks_pallas
+        src_np = np.frombuffer(data[: K * bs], np.uint8).reshape(K, bs)
+        dn = np.zeros((K, 65536), np.uint8)
+        dn[1:] = src_np[:-1]
+        dl_np = np.full(K, 65536, np.int32)
+        dl_np[0] = 0
+        dicts_j = jnp.asarray(dn)
+        dlens_j = jnp.asarray(dl_np)
+        lens_e = jnp.full(B, bs, jnp.int32)
+        hblocks = []
+        for i in range(0, K, B):
+            o, cs, _ = encode_blocks_pallas(
+                jnp.asarray(src_np[i: i + B]), lens_e,
+                dicts_j[i: i + B], dlens_j[i: i + B], cap_n=bs,
+                interpret=False)
+            o, cs = np.asarray(o), np.asarray(cs)
+            hblocks += [o[k, : cs[k]].tobytes() for k in range(B)]
+    else:
+        hblocks = native.blockcodec.compress_batch(
+            [data[i * bs: (i + 1) * bs] for i in range(K)])
     cap_in = compress_bound(bs)
     comp_np = np.zeros((K, cap_in), np.uint8)
     csz = np.zeros(K, np.int32)
@@ -77,8 +100,10 @@ def main() -> None:
             res = []
             for i in range(0, K, B):
                 res.append(decode_blocks_pallas(
-                    comp_j[i: i + B], clens[i: i + B], cap_out=bs,
-                    interpret=False, mode=mode))
+                    comp_j[i: i + B], clens[i: i + B],
+                    dicts_j[i: i + B] if linked else None,
+                    dlens_j[i: i + B] if linked else None,
+                    cap_out=bs, interpret=False, mode=mode))
             return res
 
         log(event="compile_start", mode=mode)
@@ -101,7 +126,7 @@ def main() -> None:
         ok = np.concatenate([np.asarray(o) for o, _, _ in res],
                             axis=0).tobytes() == data[: K * bs]
         mb = K * bs / 1e6
-        log(event="decode", mode=mode, best_s=round(best, 3),
+        log(event="decode", linked=linked, mode=mode, best_s=round(best, 3),
             MBs=round(mb / best, 1), err=errs,
             roundtrip=bool(ok) if mode == "full" else None)
     log(event="done")

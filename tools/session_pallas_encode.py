@@ -62,13 +62,26 @@ def main() -> None:
 
     accels = [int(a) for a in os.environ.get(
         "LZ4_TPU_SESSION_ACCELS", "1").split(",")]
+    linked = "--linked" in sys.argv
+    if linked:
+        # every block sees the previous one as history (lz4io.c linked
+        # chunks); block 0 has none
+        dn = np.zeros((K, 65536), np.uint8)
+        dn[1:] = src_np[:-1]
+        dl_np = np.full(K, 65536, np.int32)
+        dl_np[0] = 0
+        dicts_j = jnp.asarray(dn)
+        dlens_j = jnp.asarray(dl_np)
 
     for accel in accels:
         def enc():
             res = []
             for i in range(0, K, B):
                 res.append(encode_blocks_pallas(
-                    src[i: i + B], lens, cap_n=bs, acceleration=accel,
+                    src[i: i + B], lens,
+                    dicts_j[i: i + B] if linked else None,
+                    dlens_j[i: i + B] if linked else None,
+                    cap_n=bs, acceleration=accel,
                     interpret=False))
             return res
 
@@ -90,14 +103,24 @@ def main() -> None:
         # verify every block with the independent host C decoder
         blocks = [outs[i, : csz[i]].tobytes() for i in range(K)]
         try:
-            dec = native.blockcodec.decompress_batch(blocks, [bs] * K)
-            ok = b"".join(dec) == data[: K * bs]
+            if linked:
+                from lz4_tpu.block.ref_codec import decompress_block
+                ok = True
+                for i in range(K):
+                    hist = data[(i - 1) * bs: i * bs] if i else b""
+                    if decompress_block(blocks[i], bs,
+                                        dict_prefix=hist)                             != data[i * bs: (i + 1) * bs]:
+                        ok = False
+                        break
+            else:
+                dec = native.blockcodec.decompress_batch(blocks, [bs] * K)
+                ok = b"".join(dec) == data[: K * bs]
         except Exception as e:
             ok = False
             log(event="decode_error", error=str(e)[:500])
         hsize = sum(len(c) for c in native.blockcodec.compress_batch(
             [data[i * bs: (i + 1) * bs] for i in range(K)]))
-        log(event="encode", accel=accel, best_s=round(best, 3),
+        log(event="encode", linked=linked, accel=accel, best_s=round(best, 3),
             MBs=round(mb / best, 1), roundtrip=bool(ok),
             csize=int(csz.sum()),
             vs_hostC=round(int(csz.sum()) / hsize, 4))
