@@ -6,28 +6,35 @@ docs/tpu_perf_notes.md); its per-byte cost is architectural. This
 kernel takes the opposite corner: ONE block per grid step, decoded
 sequentially in VMEM exactly like the reference's hot loop
 (LZ4_decompress_generic, lz4.c:2022-2445), with the TPU twist that
-every copy is a 128-lane vector op:
+every copy is a 128-lane vector op.
 
-  * parsing runs on the SCALAR unit: the compressed block is passed a
-    second time as 4-bytes-per-int32 words in SMEM, and token/length/
-    offset reads are plain scalar loads + shifts — measured ~12 cycles
-    per byte extract (tools/session_pallas_probe3.py), an order of
-    magnitude under any vector-extract scheme. This mirrors the
-    reference's scalar hot loop (lz4.c:2022-2445) directly;
-  * the output block lives in VMEM as a one-byte-per-lane int32 array
-    (R, 128) — 8-bit tiling constraints never apply — and the VPU only
-    ever runs COPIES:
-  * a "window read" fetches 128 consecutive bytes at ANY byte offset:
-    one (2, 128) two-row load + two lane rolls + a select;
+Round-3 revision (the performance pass): the v5e core is a single
+in-order VLIW stream, so throughput == instruction count per sequence.
+Measured cost split on real streams (tools/session_r3d.py): parse
+~50%, match copies ~40%, literal copies ~7%. The v4 kernel therefore
+
+  * parses on the SCALAR unit from a packed-words SMEM copy with a
+    branch-free fast path: ONE read4 fetches the token (and would-be
+    extension bytes), ONE read4 fetches offset+ext at lit_end; the
+    255-chain loops (lz4.c:1978-2014 read_variable_length) only run
+    under a rare `lax.cond` when a nibble is 15 — the same shortcut
+    idea as the reference's safe-loop 16/18-byte fast path
+    (lz4.c:2213-2335);
+  * keeps the output block in VMEM as one-byte-per-lane int32 rows
+    with a 128-byte PAD row in front, so a "window read" of 128/256
+    consecutive bytes at ANY byte offset is a single 2/3-row load +
+    one roll + one select — the aligned-source trick: reading at
+    (src - dst%128) lands bytes directly in destination phase, no
+    second roll, no broadcast;
   * short copies (<= 128 bytes, the overwhelming majority) are ONE
     masked read-modify-write of a (2, 128) slab — the analog of the
-    reference's wildCopy8/32 (lz4.c:463-572); long copies fall back to
-    a per-row loop;
+    reference's wildCopy8/32 (lz4.c:463-572);
   * overlap matches (offset < 128) replicate a period pattern with a
-    lane-local dynamic_gather — the vector generalization of the
-    reference's inc32table/dec64table trick (lz4.c:2406-2418); far
-    matches use the same gather with a straight index, so the match
-    path is uniform: one window + one gather + one RMW.
+    lane-local take_along_axis on the native (8, 128) tile — the
+    vector generalization of the reference's inc32table/dec64table
+    trick (lz4.c:2406-2418); far matches are a straight window RMW;
+  * long copies (> 128 bytes) walk full rows, straight or periodic,
+    selected once per copy (not per row).
 
 Error semantics mirror decode_jax._parse_tokens / _decode_one bit for
 bit (the sound-subset contract): any malformed stream sets err and the
@@ -51,6 +58,7 @@ except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
 LANES = 128
+PAD = LANES          # front pad row on both VMEM buffers (aligned windows)
 
 
 def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
@@ -59,153 +67,184 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
                    mode: str = "full"):
     """One block per grid step. words_ref: (1, 1, W) int32 SMEM — the
     compressed bytes packed 4/word little-endian (scalar parse side);
-    comp_ref: (1, r_in, 128) int32 bytes VMEM (literal copy side);
-    out_ref: (1, r_out, 128) int32 bytes; len/olen/err: SMEM scalars.
-    d0 > 0 is dict/linked mode: dict_ref (1, d0//128, 128) holds the
-    right-aligned history, copied into the first output rows so match
-    sources reach it transparently (lz4.c:2461-2508 usingDict analog);
-    decoded bytes start at byte d0."""
+    comp_ref: (1, r_in, 128) int32 bytes VMEM with one PAD row in
+    front (literal copy side); out_ref: (1, r_out, 128) int32 bytes,
+    laid out [PAD row | d0 history rows | cap_out data | spare];
+    len/olen/err: SMEM scalars. d0 > 0 is dict/linked mode: dict_ref
+    (1, d0//128, 128) holds the right-aligned history, copied into the
+    output rows after the pad so match sources reach it transparently
+    (lz4.c:2461-2508 usingDict analog); decoded bytes start at logical
+    position d0 (buffer byte PAD + d0)."""
     b = pl.program_id(0)
     M = len_ref[b]
-    n_words = r_in * LANES // 4
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 1)
     # flat byte index over a (2, 128) slab
-    fi2 = (jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 1)
-           + LANES * jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 0))
+    fi2 = lane2 + LANES * jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 0)
+    fi8 = (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+           + LANES * jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0))
     ow = jnp.int32(d0 + cap_out)
     if d0:
         low = d0 - jnp.minimum(dlen_ref[b], d0)  # first valid history byte
-        out_ref[0, 0: d0 // LANES, :] = dict_ref[0]
+        out_ref[0, 1: 1 + d0 // LANES, :] = dict_ref[0]
     else:
         low = jnp.int32(0)
 
     def rbyte(q):
-        """Scalar byte read from the packed SMEM copy (clamped)."""
-        q = jnp.clip(q, 0, 4 * n_words - 1)
+        """Scalar byte read from the packed SMEM copy (caller keeps q
+        inside the padded word buffer)."""
         return (words_ref[0, 0, q >> 2] >> (8 * (q & 3))) & 255
 
-    def window(ref, pos, rmax):
-        """128 consecutive bytes of ref starting at byte pos (clamped);
-        w[0, j] = ref_bytes[pos + j]. The clamp keeps the 2-row slab
-        load inside the ref for ANY pos (legit positions never clamp:
-        both buffers carry >= 1 spare row past their data)."""
-        pos = jnp.clip(pos, 0, (rmax - 2) * LANES)
-        row = pos // LANES
+    def read4(q):
+        """4 LE bytes at byte offset q as one int32 (q unclipped: the
+        word buffer carries >= 8 spare zero bytes past the data)."""
+        w1 = words_ref[0, 0, q >> 2]
+        w2 = words_ref[0, 0, (q >> 2) + 1]
+        sh = 8 * (q & 3)
+        lo = jax.lax.shift_right_logical(w1, sh)
+        # branch-free high half: << (31-sh) << 1 is 0 when sh == 0
+        hi = jax.lax.shift_left(jax.lax.shift_left(w2, 31 - sh), 1)
+        return lo | hi
+
+    def window2(ref, pos, rmax):
+        """(2, 128) slab with v[i] = ref_bytes[pos + i], i in [0, 256)
+        — one 3-row load + one roll + one select. pos is a BUFFER
+        coordinate (>= 1 given the PAD row; callers align pos to the
+        destination phase so the result needs no second roll). The
+        clamp only ever fires on err-doomed streams."""
+        row = jnp.clip(pos // LANES, 0, rmax - 3)
+        l = pos % LANES
+        slab = ref[0, pl.ds(row, 3), :]                  # (3, 128)
+        r = pltpu.roll(slab, -l, 1)
+        return jnp.where(lane2 < LANES - l, r[0:2, :], r[1:3, :])
+
+    def window1(ref, pos, rmax):
+        """(1, 128) variant of window2."""
+        row = jnp.clip(pos // LANES, 0, rmax - 2)
         l = pos % LANES
         slab = ref[0, pl.ds(row, 2), :]                  # (2, 128)
-        r0 = pltpu.roll(slab[0:1, :], -l, 1)
-        r1 = pltpu.roll(slab[1:2, :], -l, 1)
-        return jnp.where(lane < LANES - l, r0, r1)       # (1, 128)
+        r = pltpu.roll(slab, -l, 1)
+        return jnp.where(lane < LANES - l, r[0:1, :], r[1:2, :])
 
-    def ext_len(pos, enable):
+    def rmw(dst, n, v2):
+        """Write out bytes dst..dst+n-1 (n <= 128, dst logical) from
+        the phase-aligned (2, 128) value slab v2."""
+        q = dst + PAD
+        row = jnp.clip(q // LANES, 0, r_out - 2)
+        start = q % LANES
+        m = (fi2 >= start) & (fi2 < start + n)
+        old = out_ref[0, pl.ds(row, 2), :]
+        out_ref[0, pl.ds(row, 2), :] = jnp.where(m, v2, old)
+
+    def ext_len(pos):
         """Resolve a 255-chain: scalar loads until a byte != 255.
-        Returns (total extra, end position past the chain). enable=False
-        runs zero iterations (nibble < 15 costs nothing)."""
+        Returns (total extra, end position past the chain)."""
         def body(st):
             q, acc, _go = st
             v = rbyte(q)
             return q + 1, acc + v, v == 255
 
         q, acc, _ = jax.lax.while_loop(
-            lambda st: st[2], body, (pos, jnp.int32(0), enable))
+            lambda st: st[2], body, (pos, jnp.int32(0), True))
         return acc, q
 
-    def rmw_short(v2, dst, n):
-        """Write bytes dst..dst+n-1 (n <= 128) from the (2, 128) value
-        slab v2 (indexed by flat offset from dst's row base) through a
-        masked read-modify-write."""
-        row = jnp.clip(dst // LANES, 0, r_out - 2)
-        start = dst % LANES
-        m = (fi2 >= start) & (fi2 < start + n)
-        old = out_ref[0, pl.ds(row, 2), :]
-        out_ref[0, pl.ds(row, 2), :] = jnp.where(m, v2, old)
-
-    def gather8(w, idx2):
-        """val[r, j] = w[0, idx2[r, j]] for the first 2 rows (Mosaic's
-        dynamic_gather wants equal operand/index shapes; (8, 128) is
-        the native tile)."""
-        idx8 = jnp.clip(jnp.concatenate(
-            [idx2, jnp.zeros((6, LANES), jnp.int32)]), 0, LANES - 1)
-        return jnp.take_along_axis(
-            jnp.broadcast_to(w, (8, LANES)), idx8, axis=1)[0:2, :]
-
-    def copy_long(src_ref, src_rmax, src0, dst0, length, off):
-        """Row-walking fallback for copies > 128 bytes. off==0 → plain
-        forward copy; 0<off<128 → periodic pattern from a seed window
-        (chunks of 128 are safe for off >= 128: every chunk's source
-        precedes its dest)."""
-        pat_w = window(src_ref, src0, src_rmax)
+    def copy_long(ref, rmax, pos0, dst0, length, off):
+        """Row-walking fallback for copies > 128 bytes. pos0 is the
+        source BUFFER coordinate; off == 0 -> straight forward copy
+        (also used for matches with offset >= 128: every row's source
+        precedes its dest); 0 < off < 128 -> periodic pattern from a
+        seed window."""
         small = (off > 0) & (off < LANES)
+        offs = jnp.maximum(off, 1)
+        pat8 = jnp.broadcast_to(window1(ref, pos0, rmax), (8, LANES))
 
-        def body(st):
+        def body_straight(st):
             cur, rem = st
-            row = cur // LANES
             start = cur % LANES
             n = jnp.minimum(LANES - start, rem)
-            w = pltpu.roll(
-                window(src_ref, src0 + (cur - dst0), src_rmax), start, 1)
-            offs = jnp.maximum(off, 1)
-            c0 = jnp.where(small, (cur - start - src0) % offs, 0)
-            idx = (c0 + lane) % offs
-            pv = jnp.take_along_axis(
-                jnp.broadcast_to(pat_w, (8, LANES)),
-                jnp.broadcast_to(jnp.clip(idx, 0, LANES - 1), (8, LANES)),
-                axis=1)[0:1, :]
-            v = jnp.where(small, pv, w)
+            v = window1(ref, pos0 + (cur - dst0) - start, rmax)
             m = (lane >= start) & (lane < start + n)
-            rowc = jnp.clip(row, 0, r_out - 1)
+            q = cur + PAD
+            rowc = jnp.clip(q // LANES, 0, r_out - 1)
             old = out_ref[0, pl.ds(rowc, 1), :]
             out_ref[0, pl.ds(rowc, 1), :] = jnp.where(m, v, old)
             return cur + n, rem - n
 
-        jax.lax.while_loop(lambda st: st[1] > 0, body,
-                           (dst0, jnp.maximum(length, 0)))
+        def body_periodic(st):
+            cur, rem = st
+            start = cur % LANES
+            n = jnp.minimum(LANES - start, rem)
+            c0 = (cur - start - dst0) % offs
+            idx8 = (c0 + fi8[0:1, :]) % offs
+            v = jnp.take_along_axis(
+                pat8, jnp.broadcast_to(idx8, (8, LANES)), axis=1)[0:1, :]
+            m = (lane >= start) & (lane < start + n)
+            q = cur + PAD
+            rowc = jnp.clip(q // LANES, 0, r_out - 1)
+            old = out_ref[0, pl.ds(rowc, 1), :]
+            out_ref[0, pl.ds(rowc, 1), :] = jnp.where(m, v, old)
+            return cur + n, rem - n
+
+        def go(body):
+            def run(_):
+                jax.lax.while_loop(lambda st: st[1] > 0, body,
+                                   (dst0, jnp.maximum(length, 0)))
+                return 0
+            return run
+
+        jax.lax.cond(small, go(body_periodic), go(body_straight), 0)
 
     def seq_body(st):
         p, o, err, done = st
-        # ---- scalar parse (SMEM loads only; lz4.c:2279-2335) -------------
-        tok = rbyte(p)
-        litnib = tok >> 4
-        matnib = tok & 15
-        extra, q = ext_len(p + 1, litnib == 15)
-        litlen = jnp.where(litnib == 15, 15 + extra, litnib)
-        lit_start = q
+        # ---- scalar parse: branch-free fast path ---------------------
+        # (lz4.c:2279-2335; 255-chains via rare lax.cond slow paths)
+        w0 = read4(p)
+        litnib = (w0 >> 4) & 15
+        matnib = w0 & 15
+
+        litlen, lit_start = jax.lax.cond(
+            litnib == 15,
+            lambda _: (lambda ea: (15 + ea[0], ea[1]))(ext_len(p + 1)),
+            lambda _: (litnib, p + 1), 0)
         lit_end = lit_start + litlen
-        offset = rbyte(lit_end) | (rbyte(lit_end + 1) << 8)
-        extra2, q2 = ext_len(lit_end + 2,
-                             (lit_end < M) & (matnib == 15))
-        mlen = MINMATCH + jnp.where(matnib == 15, 15 + extra2, matnib)
-        next_p = jnp.where(matnib == 15, q2, lit_end + 2)
+        # offset + first ext byte in one read (clamped once: a doomed
+        # oversized litlen may push lit_end past the buffer, but any
+        # sequence that survives the checks below has lit_end <= M - 8)
+        w1 = read4(jnp.minimum(lit_end, M))
+        offset = w1 & 0xFFFF
+        mext, next_p = jax.lax.cond(
+            (matnib == 15) & (lit_end < M),
+            lambda _: ext_len(lit_end + 2),
+            lambda _: (jnp.int32(0), lit_end + 2), 0)
+        mlen = MINMATCH + matnib + mext
 
         is_last = lit_end >= M
         # parsing restrictions — mirror decode_jax._parse_tokens
         # (reference analog lz4.c:2279-2318); o is d0-based in dict mode
         err = err | (is_last & (lit_end != M)) | ((o + litlen) > ow)
 
-        # ---- literal copy ------------------------------------------------
+        # ---- literal copy --------------------------------------------
         if mode != "nocopy":
             do_lit = ~err & (litlen > 0)
-            # short path: one comp window at lit_start, rolled into dest
-            # phase (the mod-128 wrap makes the (2,128) broadcast exact)
-            lit_short = litlen <= LANES
+            start = o % LANES
 
-            @pl.when(do_lit & lit_short)
+            @pl.when(do_lit & (litlen <= LANES))
             def _():
-                start = o % LANES
-                wl = window(comp_ref, lit_start, r_in)
-                rolled = pltpu.roll(wl, start, 1)
-                rmw_short(jnp.broadcast_to(rolled, (2, LANES)), o, litlen)
+                # aligned window: reading at (lit_start - start) puts
+                # byte j of the run at slab position start + j
+                v2 = window2(comp_ref, PAD + lit_start - start, r_in)
+                rmw(o, litlen, v2)
 
-            @pl.when(do_lit & ~lit_short)
+            @pl.when(do_lit & (litlen > LANES))
             def _():
-                copy_long(comp_ref, r_in, lit_start, o, litlen,
+                copy_long(comp_ref, r_in, PAD + lit_start, o, litlen,
                           jnp.int32(0))
         o_mid = o + litlen
 
-        # ---- match half (absent on the last sequence) ---------------------
+        # ---- match half (absent on the last sequence) -----------------
         bad_mid = (next_p > M) | (offset == 0) | (lit_end > M - 8)
-        err = err | (~is_last & ~done & bad_mid)
-        do_match = ~is_last & ~err & ~done
+        err = err | (~is_last & bad_mid)
+        do_match = ~is_last & ~err
         err = err | (do_match & ((o_mid - offset) < low))
         err = err | (do_match & ((o_mid + mlen) > ow))
         err = err | (do_match & (o_mid > ow - 12))
@@ -214,31 +253,27 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
         if mode not in ("nocopy", "litonly"):
             small = offset < LANES
             src0 = o_mid - offset
+            start2 = o_mid % LANES
 
             @pl.when(do_match & (mlen <= LANES) & ~small)
             def _():
-                # far match (no overlap inside the slab): exactly the
-                # literal path — window at src0 rolled into dest phase
-                start = o_mid % LANES
-                w_m = window(out_ref, src0, r_out)
-                rolled = pltpu.roll(w_m, start, 1)
-                rmw_short(jnp.broadcast_to(rolled, (2, LANES)),
-                          o_mid, mlen)
+                # far match (no overlap inside the slab): aligned window
+                v2 = window2(out_ref, PAD + src0 - start2, r_out)
+                rmw(o_mid, mlen, v2)
 
             @pl.when(do_match & (mlen <= LANES) & small)
             def _():
                 # overlap match: periodic pattern via lane-local gather
-                w_m = window(out_ref, src0, r_out)
-                start = o_mid % LANES
-                rowbase = o_mid - start
+                w = jnp.broadcast_to(
+                    window1(out_ref, PAD + src0, r_out), (8, LANES))
                 offs = jnp.maximum(offset, 1)
-                idx_p = (rowbase + fi2 - src0) % offs
-                v2 = gather8(w_m, idx_p)
-                rmw_short(v2, o_mid, mlen)
+                idx8 = (fi8 - start2) % offs
+                v8 = jnp.take_along_axis(w, idx8, axis=1)
+                rmw(o_mid, mlen, v8[0:2, :])
 
             @pl.when(do_match & (mlen > LANES))
             def _():
-                copy_long(out_ref, r_out, src0, o_mid, mlen, offset)
+                copy_long(out_ref, r_out, PAD + src0, o_mid, mlen, offset)
 
         o_next = jnp.where(do_match, o_mid + mlen,
                            jnp.where(err, o, o_mid))
@@ -262,12 +297,15 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
 def _decode_pallas_raw(comp32, comp_lens, dict32, dlens, *, cap_out: int,
                        interpret: bool, mode: str = "full", d0: int = 0):
     B, r_in, _ = comp32.shape
-    r_out = -(-(d0 + cap_out) // LANES) + 2
+    # rows: PAD + dict + data + window spill (window2 reads 3 rows)
+    r_out = 1 + -(-(d0 + cap_out) // LANES) + 3
     r_out += (-r_out) % 8
     # scalar-parse copy: the same bytes packed 4/word little-endian,
-    # one (1, 1, W) SMEM block per grid step
-    W = r_in * LANES // 4
-    b4 = comp32.reshape(B, 1, W, 4)
+    # one (1, 1, W) SMEM block per grid step. The VMEM copy carries the
+    # PAD row; the word copy must NOT (parse positions are raw), so
+    # drop the first 32 words.
+    W = r_in * LANES // 4 - 32
+    b4 = comp32.reshape(B, 1, r_in * LANES // 4, 4)[:, :, 32:, :]
     words = (b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16)
              | (b4[..., 3] << 24))
     kern = functools.partial(_decode_kernel, cap_out=cap_out,
@@ -299,7 +337,7 @@ def _decode_pallas_raw(comp32, comp_lens, dict32, dlens, *, cap_out: int,
             dimension_semantics=("arbitrary",)),
     )(comp_lens.astype(jnp.int32), dlens.astype(jnp.int32), words,
       comp32, dict32)
-    flat = out.reshape(B, r_out * LANES)[:, d0: d0 + cap_out] \
+    flat = out.reshape(B, r_out * LANES)[:, PAD + d0: PAD + d0 + cap_out] \
         .astype(jnp.uint8)
     return flat, olen, errs
 
@@ -320,11 +358,13 @@ def decode_blocks_pallas(comp, comp_lens, dict_bufs=None, dict_lens=None,
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     B, cap_in = comp.shape
-    r_in = -(-(cap_in + LANES) // LANES)
+    # rows: PAD row + data + parse/window spill (>= 4 spare rows: the
+    # unclipped read4 and oversized-litlen windows stay in-buffer)
+    r_in = 1 + -(-(cap_in + 4 * LANES) // LANES)
     r_in += (-r_in) % 8
-    pad = r_in * LANES - cap_in
+    pad = r_in * LANES - cap_in - PAD
     comp32 = jnp.pad(comp.astype(jnp.int32),
-                     ((0, 0), (0, pad))).reshape(B, r_in, LANES)
+                     ((0, 0), (PAD, pad))).reshape(B, r_in, LANES)
     has_dict = dict_bufs is not None
     d0 = 65536 if has_dict else 0
     if has_dict:
