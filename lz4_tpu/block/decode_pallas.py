@@ -8,33 +8,47 @@ sequentially in VMEM exactly like the reference's hot loop
 (LZ4_decompress_generic, lz4.c:2022-2445), with the TPU twist that
 every copy is a 128-lane vector op.
 
-Round-3 revision (the performance pass): the v5e core is a single
-in-order VLIW stream, so throughput == instruction count per sequence.
-Measured cost split on real streams (tools/session_r3d.py): parse
-~50%, match copies ~40%, literal copies ~7%. The v4 kernel therefore
+Round-3 revision: the measured machine model (tools/session_r3d.py,
+session_r3e.py, session_pallas_probe3.py re-run) is that the TPU
+SCALAR unit retires roughly one operation per ~14 ns and gains
+NOTHING from interleaving independent chains (8 interleaved dep-load
+chains cost 7.7x one chain) — so per-sequence cost is simply
+scalar-op-count x 14 ns, and branch elimination / latency hiding /
+K-block interleave all move the needle <15%. The kernel therefore
+minimizes per-sequence scalar ops and puts every byte-moving op on
+the vector unit:
 
-  * parses on the SCALAR unit from a packed-words SMEM copy with a
-    branch-free fast path: ONE read4 fetches the token (and would-be
-    extension bytes), ONE read4 fetches offset+ext at lit_end; the
+  * parses on the SCALAR unit from a packed-words SMEM copy,
+    select-based: ONE read4 fetches token + first literal-ext byte,
+    ONE read4 fetches offset + first match-ext byte, and the
     255-chain loops (lz4.c:1978-2014 read_variable_length) only run
-    under a rare `lax.cond` when a nibble is 15 — the same shortcut
-    idea as the reference's safe-loop 16/18-byte fast path
-    (lz4.c:2213-2335);
+    under a rare `lax.cond` when a chain exceeds one ext byte;
   * keeps the output block in VMEM as one-byte-per-lane int32 rows
     with a 128-byte PAD row in front, so a "window read" of 128/256
     consecutive bytes at ANY byte offset is a single 2/3-row load +
     one roll + one select — the aligned-source trick: reading at
     (src - dst%128) lands bytes directly in destination phase, no
     second roll, no broadcast;
-  * short copies (<= 128 bytes, the overwhelming majority) are ONE
-    masked read-modify-write of a (2, 128) slab — the analog of the
+  * literal copies <= 128 bytes are ONE unconditional masked
+    read-modify-write of a (2, 128) slab — the analog of the
     reference's wildCopy8/32 (lz4.c:463-572);
   * overlap matches (offset < 128) replicate a period pattern with a
     lane-local take_along_axis on the native (8, 128) tile — the
     vector generalization of the reference's inc32table/dec64table
-    trick (lz4.c:2406-2418); far matches are a straight window RMW;
+    trick (lz4.c:2406-2418); far matches are a straight window RMW.
+    Match paths stay BRANCHED: executing both arms unconditionally
+    and selecting measured 2.8x slower than branching (the gather is
+    ~265 ns);
   * long copies (> 128 bytes) walk full rows, straight or periodic,
-    selected once per copy (not per row).
+    selected once per copy (not per row);
+  * K blocks per grid step (static param, default 1) is kept as a
+    measured-and-rejected ILP experiment: K=4 is ~5% SLOWER than K=1
+    (no scalar ILP exists to harvest) and K=8 exceeds SMEM. The knob
+    remains for future hardware where the scalar unit pipelines.
+
+Measured plateau on dense host-encoded 64 KB streams: ~21 MB/s
+(~390 ns/sequence parse + ~140 ns/sequence copies), i.e. this design
+is scalar-op-bound, not memory- or vector-bound.
 
 Error semantics mirror decode_jax._parse_tokens / _decode_one bit for
 bit (the sound-subset contract): any malformed stream sets err and the
@@ -63,20 +77,20 @@ PAD = LANES          # front pad row on both VMEM buffers (aligned windows)
 
 def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
                    out_ref, olen_ref, err_ref, *, cap_out: int,
-                   r_in: int, r_out: int, d0: int = 0,
+                   r_in: int, r_out: int, d0: int = 0, K: int = 1,
                    mode: str = "full"):
-    """One block per grid step. words_ref: (1, 1, W) int32 SMEM — the
-    compressed bytes packed 4/word little-endian (scalar parse side);
-    comp_ref: (1, r_in, 128) int32 bytes VMEM with one PAD row in
-    front (literal copy side); out_ref: (1, r_out, 128) int32 bytes,
-    laid out [PAD row | d0 history rows | cap_out data | spare];
-    len/olen/err: SMEM scalars. d0 > 0 is dict/linked mode: dict_ref
-    (1, d0//128, 128) holds the right-aligned history, copied into the
-    output rows after the pad so match sources reach it transparently
-    (lz4.c:2461-2508 usingDict analog); decoded bytes start at logical
-    position d0 (buffer byte PAD + d0)."""
-    b = pl.program_id(0)
-    M = len_ref[b]
+    """K blocks per grid step, one fused while_loop. words_ref:
+    (K, 1, W) int32 SMEM — the compressed bytes packed 4/word
+    little-endian (scalar parse side); comp_ref: (K, r_in, 128) int32
+    bytes VMEM with one PAD row in front (literal copy side); out_ref:
+    (K, r_out, 128) int32 bytes, laid out
+    [PAD row | d0 history rows | cap_out data | spare];
+    len/olen/err: SMEM scalars indexed g*K+k. d0 > 0 is dict/linked
+    mode: dict_ref (K, d0//128, 128) holds the right-aligned history,
+    copied into the output rows after the pad so match sources reach it
+    transparently (lz4.c:2461-2508 usingDict analog); decoded bytes
+    start at logical position d0 (buffer byte PAD + d0)."""
+    g = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 1)
     # flat byte index over a (2, 128) slab
@@ -84,29 +98,32 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
     fi8 = (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
            + LANES * jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0))
     ow = jnp.int32(d0 + cap_out)
+    Ms = [len_ref[g * K + k] for k in range(K)]
     if d0:
-        low = d0 - jnp.minimum(dlen_ref[b], d0)  # first valid history byte
-        out_ref[0, 1: 1 + d0 // LANES, :] = dict_ref[0]
+        # first valid history byte per block
+        lows = [d0 - jnp.minimum(dlen_ref[g * K + k], d0) for k in range(K)]
+        for k in range(K):
+            out_ref[k, 1: 1 + d0 // LANES, :] = dict_ref[k]
     else:
-        low = jnp.int32(0)
+        lows = [jnp.int32(0)] * K
 
-    def rbyte(q):
+    def rbyte(k, q):
         """Scalar byte read from the packed SMEM copy (caller keeps q
         inside the padded word buffer)."""
-        return (words_ref[0, 0, q >> 2] >> (8 * (q & 3))) & 255
+        return (words_ref[k, 0, q >> 2] >> (8 * (q & 3))) & 255
 
-    def read4(q):
+    def read4(k, q):
         """4 LE bytes at byte offset q as one int32 (q unclipped: the
         word buffer carries >= 8 spare zero bytes past the data)."""
-        w1 = words_ref[0, 0, q >> 2]
-        w2 = words_ref[0, 0, (q >> 2) + 1]
+        w1 = words_ref[k, 0, q >> 2]
+        w2 = words_ref[k, 0, (q >> 2) + 1]
         sh = 8 * (q & 3)
         lo = jax.lax.shift_right_logical(w1, sh)
         # branch-free high half: << (31-sh) << 1 is 0 when sh == 0
         hi = jax.lax.shift_left(jax.lax.shift_left(w2, 31 - sh), 1)
         return lo | hi
 
-    def window2(ref, pos, rmax):
+    def window2(ref, k, pos, rmax):
         """(2, 128) slab with v[i] = ref_bytes[pos + i], i in [0, 256)
         — one 3-row load + one roll + one select. pos is a BUFFER
         coordinate (>= 1 given the PAD row; callers align pos to the
@@ -114,41 +131,41 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
         clamp only ever fires on err-doomed streams."""
         row = jnp.clip(pos // LANES, 0, rmax - 3)
         l = pos % LANES
-        slab = ref[0, pl.ds(row, 3), :]                  # (3, 128)
+        slab = ref[k, pl.ds(row, 3), :]                  # (3, 128)
         r = pltpu.roll(slab, -l, 1)
         return jnp.where(lane2 < LANES - l, r[0:2, :], r[1:3, :])
 
-    def window1(ref, pos, rmax):
+    def window1(ref, k, pos, rmax):
         """(1, 128) variant of window2."""
         row = jnp.clip(pos // LANES, 0, rmax - 2)
         l = pos % LANES
-        slab = ref[0, pl.ds(row, 2), :]                  # (2, 128)
+        slab = ref[k, pl.ds(row, 2), :]                  # (2, 128)
         r = pltpu.roll(slab, -l, 1)
         return jnp.where(lane < LANES - l, r[0:1, :], r[1:2, :])
 
-    def rmw(dst, n, v2):
+    def rmw(k, dst, n, v2):
         """Write out bytes dst..dst+n-1 (n <= 128, dst logical) from
         the phase-aligned (2, 128) value slab v2."""
         q = dst + PAD
         row = jnp.clip(q // LANES, 0, r_out - 2)
         start = q % LANES
         m = (fi2 >= start) & (fi2 < start + n)
-        old = out_ref[0, pl.ds(row, 2), :]
-        out_ref[0, pl.ds(row, 2), :] = jnp.where(m, v2, old)
+        old = out_ref[k, pl.ds(row, 2), :]
+        out_ref[k, pl.ds(row, 2), :] = jnp.where(m, v2, old)
 
-    def ext_len(pos):
+    def ext_len(k, pos):
         """Resolve a 255-chain: scalar loads until a byte != 255.
         Returns (total extra, end position past the chain)."""
         def body(st):
             q, acc, _go = st
-            v = rbyte(q)
+            v = rbyte(k, q)
             return q + 1, acc + v, v == 255
 
         q, acc, _ = jax.lax.while_loop(
             lambda st: st[2], body, (pos, jnp.int32(0), True))
         return acc, q
 
-    def copy_long(ref, rmax, pos0, dst0, length, off):
+    def copy_long(ref, k, rmax, pos0, dst0, length, off):
         """Row-walking fallback for copies > 128 bytes. pos0 is the
         source BUFFER coordinate; off == 0 -> straight forward copy
         (also used for matches with offset >= 128: every row's source
@@ -156,18 +173,18 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
         seed window."""
         small = (off > 0) & (off < LANES)
         offs = jnp.maximum(off, 1)
-        pat8 = jnp.broadcast_to(window1(ref, pos0, rmax), (8, LANES))
+        pat8 = jnp.broadcast_to(window1(ref, k, pos0, rmax), (8, LANES))
 
         def body_straight(st):
             cur, rem = st
             start = cur % LANES
             n = jnp.minimum(LANES - start, rem)
-            v = window1(ref, pos0 + (cur - dst0) - start, rmax)
+            v = window1(ref, k, pos0 + (cur - dst0) - start, rmax)
             m = (lane >= start) & (lane < start + n)
             q = cur + PAD
             rowc = jnp.clip(q // LANES, 0, r_out - 1)
-            old = out_ref[0, pl.ds(rowc, 1), :]
-            out_ref[0, pl.ds(rowc, 1), :] = jnp.where(m, v, old)
+            old = out_ref[k, pl.ds(rowc, 1), :]
+            out_ref[k, pl.ds(rowc, 1), :] = jnp.where(m, v, old)
             return cur + n, rem - n
 
         def body_periodic(st):
@@ -181,8 +198,8 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
             m = (lane >= start) & (lane < start + n)
             q = cur + PAD
             rowc = jnp.clip(q // LANES, 0, r_out - 1)
-            old = out_ref[0, pl.ds(rowc, 1), :]
-            out_ref[0, pl.ds(rowc, 1), :] = jnp.where(m, v, old)
+            old = out_ref[k, pl.ds(rowc, 1), :]
+            out_ref[k, pl.ds(rowc, 1), :] = jnp.where(m, v, old)
             return cur + n, rem - n
 
         def go(body):
@@ -194,61 +211,80 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
 
         jax.lax.cond(small, go(body_periodic), go(body_straight), 0)
 
-    def seq_body(st):
+    def sub_body(k, st):
+        """One sequence step of block k (guarded: frozen when the
+        block is finished or errored). The body is BRANCH-FREE on the
+        common path: every select is a jnp.where, the only control
+        flow is the rare multi-byte 255-chain escape and the rare
+        >128-byte copy escape — in-order VLIW cores pay for branches,
+        not for instructions (tools/session_r3e.py: halving the parse
+        instruction count moved the floor 0%)."""
         p, o, err, done = st
-        # ---- scalar parse: branch-free fast path ---------------------
-        # (lz4.c:2279-2335; 255-chains via rare lax.cond slow paths)
-        w0 = read4(p)
+        M = Ms[k]
+        low = lows[k]
+        if K == 1:
+            # the loop cond already guarantees liveness — no guard ops
+            active = jnp.bool_(True)
+        else:
+            active = (p < M) & ~err & ~done
+        # ---- scalar parse (lz4.c:2279-2335), select-based ------------
+        w0 = read4(k, p)
         litnib = (w0 >> 4) & 15
         matnib = w0 & 15
-
+        e0 = (w0 >> 8) & 255            # 1st literal-ext byte if any
+        one_ext = (litnib == 15).astype(jnp.int32)
+        litlen_f = jnp.where(one_ext == 1, 15 + e0, litnib)
+        lit_start_f = p + 1 + one_ext
         litlen, lit_start = jax.lax.cond(
-            litnib == 15,
-            lambda _: (lambda ea: (15 + ea[0], ea[1]))(ext_len(p + 1)),
-            lambda _: (litnib, p + 1), 0)
+            active & (one_ext == 1) & (e0 == 255),
+            lambda _: (lambda ea: (270 + ea[0], ea[1]))(ext_len(k, p + 2)),
+            lambda _: (litlen_f, lit_start_f), 0)
         lit_end = lit_start + litlen
-        # offset + first ext byte in one read (clamped once: a doomed
-        # oversized litlen may push lit_end past the buffer, but any
-        # sequence that survives the checks below has lit_end <= M - 8)
-        w1 = read4(jnp.minimum(lit_end, M))
+        # offset + 1st match-ext byte in one read (clamped once: a
+        # doomed oversized litlen may push lit_end past the buffer, but
+        # any sequence surviving the checks below has lit_end <= M - 8)
+        w1 = read4(k, jnp.minimum(lit_end, M))
         offset = w1 & 0xFFFF
+        m0 = (w1 >> 16) & 255
+        m_ext = ((matnib == 15) & (lit_end < M)).astype(jnp.int32)
+        mext_f = jnp.where(m_ext == 1, m0, 0)
+        next_p_f = lit_end + 2 + m_ext
         mext, next_p = jax.lax.cond(
-            (matnib == 15) & (lit_end < M),
-            lambda _: ext_len(lit_end + 2),
-            lambda _: (jnp.int32(0), lit_end + 2), 0)
+            active & (m_ext == 1) & (m0 == 255),
+            lambda _: (lambda ea: (255 + ea[0], ea[1]))(
+                ext_len(k, lit_end + 3)),
+            lambda _: (mext_f, next_p_f), 0)
         mlen = MINMATCH + matnib + mext
 
         is_last = lit_end >= M
         # parsing restrictions — mirror decode_jax._parse_tokens
         # (reference analog lz4.c:2279-2318); o is d0-based in dict mode
-        err = err | (is_last & (lit_end != M)) | ((o + litlen) > ow)
+        serr = err | (is_last & (lit_end != M)) | ((o + litlen) > ow)
 
-        # ---- literal copy --------------------------------------------
+        # ---- literal copy: one unconditional masked RMW --------------
         if mode != "nocopy":
-            do_lit = ~err & (litlen > 0)
+            do_lit = active & ~serr & (litlen > 0)
             start = o % LANES
-
-            @pl.when(do_lit & (litlen <= LANES))
-            def _():
-                # aligned window: reading at (lit_start - start) puts
-                # byte j of the run at slab position start + j
-                v2 = window2(comp_ref, PAD + lit_start - start, r_in)
-                rmw(o, litlen, v2)
+            # aligned window: reading at (lit_start - start) puts byte
+            # j of the run at slab position start + j
+            v2 = window2(comp_ref, k, PAD + lit_start - start, r_in)
+            n_lit = jnp.where(do_lit & (litlen <= LANES), litlen, 0)
+            rmw(k, o, n_lit, v2)
 
             @pl.when(do_lit & (litlen > LANES))
             def _():
-                copy_long(comp_ref, r_in, PAD + lit_start, o, litlen,
+                copy_long(comp_ref, k, r_in, PAD + lit_start, o, litlen,
                           jnp.int32(0))
         o_mid = o + litlen
 
         # ---- match half (absent on the last sequence) -----------------
         bad_mid = (next_p > M) | (offset == 0) | (lit_end > M - 8)
-        err = err | (~is_last & bad_mid)
-        do_match = ~is_last & ~err
-        err = err | (do_match & ((o_mid - offset) < low))
-        err = err | (do_match & ((o_mid + mlen) > ow))
-        err = err | (do_match & (o_mid > ow - 12))
-        do_match = do_match & ~err
+        serr = serr | (~is_last & bad_mid)
+        do_match = ~is_last & ~serr
+        serr = serr | (do_match & ((o_mid - offset) < low))
+        serr = serr | (do_match & ((o_mid + mlen) > ow))
+        serr = serr | (do_match & (o_mid > ow - 12))
+        do_match = active & do_match & ~serr
 
         if mode not in ("nocopy", "litonly"):
             small = offset < LANES
@@ -258,50 +294,68 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
             @pl.when(do_match & (mlen <= LANES) & ~small)
             def _():
                 # far match (no overlap inside the slab): aligned window
-                v2 = window2(out_ref, PAD + src0 - start2, r_out)
-                rmw(o_mid, mlen, v2)
+                v2 = window2(out_ref, k, PAD + src0 - start2, r_out)
+                rmw(k, o_mid, mlen, v2)
 
             @pl.when(do_match & (mlen <= LANES) & small)
             def _():
                 # overlap match: periodic pattern via lane-local gather
+                # — the vector inc32table/dec64table (lz4.c:2406-2418)
                 w = jnp.broadcast_to(
-                    window1(out_ref, PAD + src0, r_out), (8, LANES))
+                    window1(out_ref, k, PAD + src0, r_out), (8, LANES))
                 offs = jnp.maximum(offset, 1)
                 idx8 = (fi8 - start2) % offs
                 v8 = jnp.take_along_axis(w, idx8, axis=1)
-                rmw(o_mid, mlen, v8[0:2, :])
+                rmw(k, o_mid, mlen, v8[0:2, :])
 
             @pl.when(do_match & (mlen > LANES))
             def _():
-                copy_long(out_ref, r_out, PAD + src0, o_mid, mlen, offset)
+                copy_long(out_ref, k, r_out, PAD + src0, o_mid, mlen,
+                          offset)
 
         o_next = jnp.where(do_match, o_mid + mlen,
-                           jnp.where(err, o, o_mid))
-        done = done | is_last | err
-        return next_p, o_next, err, done
+                           jnp.where(serr, o, o_mid))
+        done_next = done | is_last | serr
+        if K == 1:
+            return next_p, o_next, serr, done_next
+        # freeze finished/errored blocks
+        return (jnp.where(active, next_p, p),
+                jnp.where(active, o_next, o),
+                jnp.where(active, serr, err),
+                jnp.where(active, done_next, done))
 
-    def seq_cond(st):
-        p, _, err, done = st
-        return (p < M) & ~err & ~done
+    def seq_body(sts):
+        return tuple(sub_body(k, sts[k]) for k in range(K))
 
-    p, o, err, done = jax.lax.while_loop(
-        seq_cond, seq_body,
-        (jnp.int32(0), jnp.int32(d0), M < 0, M < 0))
-    err = err | ~done                    # truncated / endless stream
-    olen_ref[b] = jnp.where(err, 0, o - d0)
-    err_ref[b] = err.astype(jnp.int32)
+    def seq_cond(sts):
+        go = jnp.bool_(False)
+        for k in range(K):
+            p, _, err, done = sts[k]
+            go = go | ((p < Ms[k]) & ~err & ~done)
+        return go
+
+    init = tuple((jnp.int32(0), jnp.int32(d0), Ms[k] < 0, Ms[k] < 0)
+                 for k in range(K))
+    final = jax.lax.while_loop(seq_cond, seq_body, init)
+    for k in range(K):
+        _, o, err, done = final[k]
+        err = err | ~done                # truncated / endless stream
+        olen_ref[g * K + k] = jnp.where(err, 0, o - d0)
+        err_ref[g * K + k] = err.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("cap_out", "interpret",
-                                             "mode", "d0"))
+                                             "mode", "d0", "K"))
 def _decode_pallas_raw(comp32, comp_lens, dict32, dlens, *, cap_out: int,
-                       interpret: bool, mode: str = "full", d0: int = 0):
+                       interpret: bool, mode: str = "full", d0: int = 0,
+                       K: int = 1):
     B, r_in, _ = comp32.shape
+    assert B % K == 0
     # rows: PAD + dict + data + window spill (window2 reads 3 rows)
     r_out = 1 + -(-(d0 + cap_out) // LANES) + 3
     r_out += (-r_out) % 8
     # scalar-parse copy: the same bytes packed 4/word little-endian,
-    # one (1, 1, W) SMEM block per grid step. The VMEM copy carries the
+    # one (K, 1, W) SMEM block per grid step. The VMEM copy carries the
     # PAD row; the word copy must NOT (parse positions are raw), so
     # drop the first 32 words.
     W = r_in * LANES // 4 - 32
@@ -309,21 +363,22 @@ def _decode_pallas_raw(comp32, comp_lens, dict32, dlens, *, cap_out: int,
     words = (b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16)
              | (b4[..., 3] << 24))
     kern = functools.partial(_decode_kernel, cap_out=cap_out,
-                             r_in=r_in, r_out=r_out, d0=d0, mode=mode)
+                             r_in=r_in, r_out=r_out, d0=d0, K=K,
+                             mode=mode)
     out, olen, errs = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B // K,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, W), lambda i: (i, 0, 0),
+            pl.BlockSpec((K, 1, W), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, r_in, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, max(d0 // LANES, 1), LANES),
+            pl.BlockSpec((K, r_in, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((K, max(d0 // LANES, 1), LANES),
                          lambda i: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, r_out, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((K, r_out, LANES), lambda i: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -342,9 +397,19 @@ def _decode_pallas_raw(comp32, comp_lens, dict32, dlens, *, cap_out: int,
     return flat, olen, errs
 
 
+def default_interleave() -> int:
+    """Blocks decoded per grid step (the scalar-parse ILP knob).
+    Overridable via LZ4_TPU_DECODE_K."""
+    import os
+    try:
+        return max(1, int(os.environ.get("LZ4_TPU_DECODE_K", "1")))
+    except ValueError:  # pragma: no cover
+        return 8
+
+
 def decode_blocks_pallas(comp, comp_lens, dict_bufs=None, dict_lens=None,
                          *, cap_out: int, interpret: bool | None = None,
-                         mode: str = "full"):
+                         mode: str = "full", K: int | None = None):
     """Batched block decode on the serial-kernel path.
 
     Same contract as decode_jax.decode_blocks:
@@ -352,12 +417,20 @@ def decode_blocks_pallas(comp, comp_lens, dict_bufs=None, dict_lens=None,
     dict_bufs uint8[B, 65536] right-aligned history (or None),
     dict_lens int32[B] →
     (out uint8[B, cap_out], out_lens int32[B], errs int32[B]).
+
+    K = blocks interleaved per grid step; the batch is padded with
+    zero-length blocks (decoded as err, sliced off here) to a multiple
+    of K.
     """
     if not _HAVE_PALLAS:  # pragma: no cover
         raise RuntimeError("pallas unavailable")
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
+    if K is None:
+        K = default_interleave()
     B, cap_in = comp.shape
+    K = min(K, B)
+    Bp = -(-B // K) * K
     # rows: PAD row + data + parse/window spill (>= 4 spare rows: the
     # unclipped read4 and oversized-litlen windows stay in-buffer)
     r_in = 1 + -(-(cap_in + 4 * LANES) // LANES)
@@ -365,15 +438,24 @@ def decode_blocks_pallas(comp, comp_lens, dict_bufs=None, dict_lens=None,
     pad = r_in * LANES - cap_in - PAD
     comp32 = jnp.pad(comp.astype(jnp.int32),
                      ((0, 0), (PAD, pad))).reshape(B, r_in, LANES)
+    if Bp != B:
+        comp32 = jnp.pad(comp32, ((0, Bp - B), (0, 0), (0, 0)))
+        comp_lens = jnp.pad(comp_lens, (0, Bp - B))
     has_dict = dict_bufs is not None
     d0 = 65536 if has_dict else 0
     if has_dict:
         dict32 = dict_bufs.astype(jnp.int32).reshape(
             B, d0 // LANES, LANES)
         dlens = dict_lens
+        if Bp != B:
+            dict32 = jnp.pad(dict32, ((0, Bp - B), (0, 0), (0, 0)))
+            dlens = jnp.pad(dlens, (0, Bp - B))
     else:
-        dict32 = jnp.zeros((B, 1, LANES), jnp.int32)
-        dlens = jnp.zeros((B,), jnp.int32)
-    return _decode_pallas_raw(comp32, comp_lens, dict32, dlens,
-                              cap_out=cap_out, interpret=bool(interpret),
-                              mode=mode, d0=d0)
+        dict32 = jnp.zeros((Bp, 1, LANES), jnp.int32)
+        dlens = jnp.zeros((Bp,), jnp.int32)
+    out, olen, errs = _decode_pallas_raw(
+        comp32, comp_lens, dict32, dlens, cap_out=cap_out,
+        interpret=bool(interpret), mode=mode, d0=d0, K=K)
+    if Bp != B:
+        out, olen, errs = out[:B], olen[:B], errs[:B]
+    return out, olen, errs
