@@ -143,15 +143,19 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
         r = pltpu.roll(slab, -l, 1)
         return jnp.where(lane < LANES - l, r[0:1, :], r[1:2, :])
 
-    def rmw(k, dst, n, v2):
-        """Write out bytes dst..dst+n-1 (n <= 128, dst logical) from
-        the phase-aligned (2, 128) value slab v2."""
+    def wfront(k, dst, v2):
+        """FRONTIER write: bytes dst.. to the end of the 2-row window
+        get slab values; bytes before dst are preserved. No right
+        boundary — everything past the copy's true length is garbage
+        that the NEXT sequence's write (which starts exactly at the
+        frontier) overwrites, and garbage past the final frontier is
+        sliced off by the caller. Saves the length clamp and one
+        scalar->vector compare per copy vs a two-sided mask."""
         q = dst + PAD
         row = jnp.clip(q // LANES, 0, r_out - 2)
         start = q % LANES
-        m = (fi2 >= start) & (fi2 < start + n)
         old = out_ref[k, pl.ds(row, 2), :]
-        out_ref[k, pl.ds(row, 2), :] = jnp.where(m, v2, old)
+        out_ref[k, pl.ds(row, 2), :] = jnp.where(fi2 >= start, v2, old)
 
     def ext_len(k, pos):
         """Resolve a 255-chain: scalar loads until a byte != 255.
@@ -228,32 +232,62 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
         else:
             active = (p < M) & ~err & ~done
         # ---- scalar parse (lz4.c:2279-2335), select-based ------------
+        # chains of <= 2 extension bytes resolve branch-free from bytes
+        # already in w0/w1; ONE merged lax.cond escape covers the freak
+        # >= 3-byte chains (litlen >= 525 / mlen >= 529) — an untaken
+        # cond still costs ~17 ns/seq, so two were merged into one
         w0 = read4(k, p)
         litnib = (w0 >> 4) & 15
         matnib = w0 & 15
-        e0 = (w0 >> 8) & 255            # 1st literal-ext byte if any
-        one_ext = (litnib == 15).astype(jnp.int32)
-        litlen_f = jnp.where(one_ext == 1, 15 + e0, litnib)
-        lit_start_f = p + 1 + one_ext
-        litlen, lit_start = jax.lax.cond(
-            active & (one_ext == 1) & (e0 == 255),
-            lambda _: (lambda ea: (270 + ea[0], ea[1]))(ext_len(k, p + 2)),
-            lambda _: (litlen_f, lit_start_f), 0)
-        lit_end = lit_start + litlen
-        # offset + 1st match-ext byte in one read (clamped once: a
-        # doomed oversized litlen may push lit_end past the buffer, but
-        # any sequence surviving the checks below has lit_end <= M - 8)
-        w1 = read4(k, jnp.minimum(lit_end, M))
-        offset = w1 & 0xFFFF
+        e0 = (w0 >> 8) & 255             # 1st literal-ext byte if any
+        e1 = (w0 >> 16) & 255            # 2nd literal-ext byte if any
+        lit15 = litnib == 15
+        lx2 = lit15 & (e0 == 255)
+        litlen_f = jnp.where(
+            lit15, 15 + e0 + jnp.where(lx2, e1, 0), litnib)
+        lit_start_f = p + 1 + lit15.astype(jnp.int32) \
+            + lx2.astype(jnp.int32)
+        lit_end_f = lit_start_f + litlen_f
+        # offset + first two match-ext bytes in one read (clamped once:
+        # a doomed oversized litlen may push lit_end past the buffer,
+        # but any sequence surviving the checks below has
+        # lit_end <= M - 8)
+        w1 = read4(k, jnp.minimum(lit_end_f, M))
+        offset_f = w1 & 0xFFFF
         m0 = (w1 >> 16) & 255
-        m_ext = ((matnib == 15) & (lit_end < M)).astype(jnp.int32)
-        mext_f = jnp.where(m_ext == 1, m0, 0)
-        next_p_f = lit_end + 2 + m_ext
-        mext, next_p = jax.lax.cond(
-            active & (m_ext == 1) & (m0 == 255),
-            lambda _: (lambda ea: (255 + ea[0], ea[1]))(
-                ext_len(k, lit_end + 3)),
-            lambda _: (mext_f, next_p_f), 0)
+        m1 = jax.lax.shift_right_logical(w1, 24) & 255
+        m15 = (matnib == 15) & (lit_end_f < M)
+        mx2 = m15 & (m0 == 255)
+        mext_f = jnp.where(m15, m0 + jnp.where(mx2, m1, 0), 0)
+        next_p_f = lit_end_f + 2 + m15.astype(jnp.int32) \
+            + mx2.astype(jnp.int32)
+
+        def slow_parse(_):
+            # full 255-chain resolution (lz4.c:1978-2014)
+            def lit_chain(_):
+                ea, eq = ext_len(k, p + 1)
+                return 15 + ea, eq
+
+            ll, ls = jax.lax.cond(
+                lit15, lit_chain, lambda _: (litlen_f, lit_start_f), 0)
+            le = ls + ll
+            w1s = read4(k, jnp.minimum(le, M))
+
+            def mat_chain(_):
+                eb, ebq = ext_len(k, le + 2)
+                return eb, ebq
+
+            mex, npp = jax.lax.cond(
+                (matnib == 15) & (le < M), mat_chain,
+                lambda _: (jnp.int32(0), le + 2), 0)
+            return ll, ls, mex, npp, w1s & 0xFFFF
+
+        litlen, lit_start, mext, next_p, offset = jax.lax.cond(
+            active & ((lx2 & (e1 == 255)) | (mx2 & (m1 == 255))),
+            slow_parse,
+            lambda _: (litlen_f, lit_start_f, mext_f, next_p_f,
+                       offset_f), 0)
+        lit_end = lit_start + litlen
         mlen = MINMATCH + matnib + mext
 
         is_last = lit_end >= M
@@ -261,17 +295,15 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
         # (reference analog lz4.c:2279-2318); o is d0-based in dict mode
         serr = err | (is_last & (lit_end != M)) | ((o + litlen) > ow)
 
-        # ---- literal copy: one unconditional masked RMW --------------
+        # ---- literal copy: one unconditional frontier write ----------
         if mode != "nocopy":
-            do_lit = active & ~serr & (litlen > 0)
             start = o % LANES
             # aligned window: reading at (lit_start - start) puts byte
             # j of the run at slab position start + j
             v2 = window2(comp_ref, k, PAD + lit_start - start, r_in)
-            n_lit = jnp.where(do_lit & (litlen <= LANES), litlen, 0)
-            rmw(k, o, n_lit, v2)
+            wfront(k, o, v2)
 
-            @pl.when(do_lit & (litlen > LANES))
+            @pl.when(active & ~serr & (litlen > LANES))
             def _():
                 copy_long(comp_ref, k, r_in, PAD + lit_start, o, litlen,
                           jnp.int32(0))
@@ -287,26 +319,29 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
         do_match = active & do_match & ~serr
 
         if mode not in ("nocopy", "litonly"):
-            small = offset < LANES
+            # overlap only exists when mlen > offset — NON-overlapping
+            # matches take the straight window path at ANY offset
+            # (slab bytes [0, mlen) all precede the frontier), so the
+            # ~250 ns gather runs only for true self-referential
+            # patterns (the vector inc32table/dec64table,
+            # lz4.c:2406-2418)
+            overlap = mlen > offset
             src0 = o_mid - offset
             start2 = o_mid % LANES
 
-            @pl.when(do_match & (mlen <= LANES) & ~small)
+            @pl.when(do_match & (mlen <= LANES) & ~overlap)
             def _():
-                # far match (no overlap inside the slab): aligned window
                 v2 = window2(out_ref, k, PAD + src0 - start2, r_out)
-                rmw(k, o_mid, mlen, v2)
+                wfront(k, o_mid, v2)
 
-            @pl.when(do_match & (mlen <= LANES) & small)
+            @pl.when(do_match & (mlen <= LANES) & overlap)
             def _():
-                # overlap match: periodic pattern via lane-local gather
-                # — the vector inc32table/dec64table (lz4.c:2406-2418)
                 w = jnp.broadcast_to(
-                    window1(out_ref, k, PAD + src0, r_out), (8, LANES))
+                    window1(out_ref, k, PAD + src0, r_out), (2, LANES))
                 offs = jnp.maximum(offset, 1)
-                idx8 = (fi8 - start2) % offs
-                v8 = jnp.take_along_axis(w, idx8, axis=1)
-                rmw(k, o_mid, mlen, v8[0:2, :])
+                idx2 = jnp.minimum((fi2 - start2) % offs, LANES - 1)
+                vm = jnp.take_along_axis(w, idx2, axis=1)
+                wfront(k, o_mid, vm)
 
             @pl.when(do_match & (mlen > LANES))
             def _():
