@@ -61,6 +61,7 @@ def _encode_kernel(len_ref, dlen_ref, src_ref, out_ref, csize_ref,
     (lz4.c:1375-1459 usingExtDict analog): candidates may reach back
     into the history window and matches span the boundary."""
     b = pl.program_id(0)
+    bt = b & 63                            # entry tag (6 bits)
     n = len_ref[b]
     d = jnp.minimum(dlen_ref[b], d0) if d0 else jnp.int32(0)
     low = d0 - d                           # first valid history byte
@@ -68,71 +69,113 @@ def _encode_kernel(len_ref, dlen_ref, src_ref, out_ref, csize_ref,
     matchlimit = d0 + n - LASTLITERALS     # match bytes end here
 
     def rbyte(q):
-        q = jnp.clip(q, 0, 4 * n_words - 1)
+        """Scalar byte read (q stays in the padded buffer: all parse
+        positions are within [low-1, d0+n+2*LANES))."""
         return (src_ref[0, 0, q >> 2] >> (8 * (q & 3))) & 255
 
     def read4(q):
-        """4 LE bytes at byte offset q (clamped) as one int32."""
-        q = jnp.clip(q, 0, 4 * (n_words - 1) - 1)
+        """4 LE bytes at byte offset q as one int32 (unclamped: the
+        source buffer carries >= 2*LANES spare bytes)."""
         w1 = src_ref[0, 0, q >> 2]
         w2 = src_ref[0, 0, (q >> 2) + 1]
         sh = 8 * (q & 3)
         lo = jax.lax.shift_right_logical(w1, sh)
-        hi = jnp.where(sh == 0, 0, w2 << ((32 - sh) & 31))
+        # branch-free high half: << (31-sh) << 1 is 0 when sh == 0
+        hi = jax.lax.shift_left(jax.lax.shift_left(w2, 31 - sh), 1)
         return lo | hi
 
     def hash4(seq):
         return jax.lax.shift_right_logical(
             seq * HASH_MUL, 32 - HASH_LOG) & ((1 << HASH_LOG) - 1)
 
-    def wbyte(q, v):
-        """Masked byte insert into the packed output words."""
-        idx = q >> 2
-        sh = 8 * (q & 3)
-        w = out_ref[0, 0, idx]
-        out_ref[0, 0, idx] = (w & ~(255 << sh)) | ((v & 255) << sh)
+    def emit1(op, pend, v):
+        """Sequential pending-word emitter: the output is written
+        strictly left to right, so the current word accumulates in a
+        register and every emit stores it whole — no read-modify-write
+        load (the old wbyte paid an SMEM load per byte)."""
+        sh = 8 * (op & 3)
+        pend2 = pend | ((v & 255) << sh)
+        out_ref[0, 0, op >> 2] = pend2
+        return op + 1, jnp.where((op & 3) == 3, 0, pend2)
 
-    def emit_len(op, ln, enable):
+    def emit_len(op, pend, ln, enable):
         """Length continuation bytes for a 15+ field (ln = value - 15).
-        enable=False writes nothing and returns op unchanged (wbyte has
-        side effects, so this must be a real branch, not a select)."""
-        def go(op):
+        The single-byte case (value 15..269) is BRANCH-FREE: the byte
+        is stored unconditionally and op advances by `enable` — when
+        disabled the garbage byte sits past the frontier and the next
+        emit overwrites it. Only the rare >= 270 chain branches."""
+        def chain(st):
+            op, pend = st
+
             def body(st):
-                op, ln2 = st
-                wbyte(op, 255)
-                return op + 1, ln2 - 255
+                op, pend, ln2 = st
+                op, pend = emit1(op, pend, jnp.int32(255))
+                return op, pend, ln2 - 255
 
-            op, ln2 = jax.lax.while_loop(lambda st: st[1] >= 255, body,
-                                         (op, ln))
-            wbyte(op, ln2)
-            return op + 1
+            op, pend, ln2 = jax.lax.while_loop(
+                lambda st: st[2] >= 255, body, (op, pend, ln))
+            op, pend = emit1(op, pend, ln2)
+            return op, pend
 
-        return jax.lax.cond(enable, go, lambda op: op, op)
+        def fast(st):
+            op, pend = st
+            sh = 8 * (op & 3)
+            pend2 = pend | ((ln & 255) << sh)
+            out_ref[0, 0, op >> 2] = jnp.where(enable, pend2, pend)
+            en = enable.astype(jnp.int32)
+            return (op + en,
+                    jnp.where(enable & ((op & 3) == 3), 0,
+                              jnp.where(enable, pend2, pend)))
 
-    def copy_lits(op, a0, ln):
+        return jax.lax.cond(enable & (ln >= 255), chain, fast,
+                            (op, pend))
+
+    def copy_lits(op, pend, a0, ln):
+        """Literal copy, 4 bytes per iteration: each store writes a
+        whole output word (pending low part | 4 source bytes shifted
+        into phase), the spill carries to the next store. Overruns up
+        to 3 bytes past the run; later emits overwrite them (the same
+        frontier argument as the decoder's wfront)."""
         def body(st):
-            i, op = st
-            wbyte(op, rbyte(i))
-            return i + 1, op + 1
+            i, q, pnd = st
+            w = read4(a0 + i)
+            sh = 8 * (q & 3)
+            out_ref[0, 0, q >> 2] = pnd | jax.lax.shift_left(w, sh)
+            # w >> (32-sh), giving 0 at sh == 0 (two shifts <= 31)
+            hi = jax.lax.shift_right_logical(
+                jax.lax.shift_right_logical(w, 31 - sh), 1)
+            return i + 4, q + 4, hi
 
-        _, op = jax.lax.while_loop(lambda st: st[0] < a0 + ln, body,
-                                   (a0, op))
-        return op
+        _, qf, pnd_f = jax.lax.while_loop(lambda st: st[0] < ln, body,
+                                          (jnp.int32(0), op, pend))
+        # flush the final spill carry (bytes [word start, qf) of the
+        # word past the last store)
+        out_ref[0, 0, qf >> 2] = pnd_f
+        op2 = op + ln
+        # reconstruct the pending word from memory (stores above are
+        # eager, so the word at op2 is now current; at a word boundary
+        # the mask is 0 and the stale read is discarded)
+        pend2 = out_ref[0, 0, op2 >> 2] & ((1 << (8 * (op2 & 3))) - 1)
+        return op2, pend2
+
+    def _ctzb(x):
+        """Index of the first nonzero byte of x (x != 0 -> 0..3)."""
+        return jnp.where(x & 255 != 0, 0,
+                         jnp.where(x & 0xFF00 != 0, 1,
+                                   jnp.where(x & 0xFF0000 != 0, 2, 3)))
 
     def fwd_count(q1, q2, maxn):
-        """Bytes equal at src[q1+i] == src[q2+i], i < maxn (4/iter)."""
+        """Bytes equal at src[q1+i] == src[q2+i], i < maxn (8/iter —
+        the two 4-byte compares are independent loads that the VLIW
+        packs together; LZ4_count analog, lz4.c:615-703)."""
         def body(st):
             c, go = st
-            x = read4(q1 + c) ^ read4(q2 + c)
-            b0 = x & 255
-            b1 = x & 0xFF00
-            b2 = x & 0xFF0000
-            nb = jnp.where(b0 != 0, 0,
-                           jnp.where(b1 != 0, 1,
-                                     jnp.where(b2 != 0, 2, 3)))
-            add = jnp.where(x == 0, 4, nb)
+            x1 = read4(q1 + c) ^ read4(q2 + c)
+            x2 = read4(q1 + c + 4) ^ read4(q2 + c + 4)
+            add = jnp.where(x1 != 0, _ctzb(x1),
+                            jnp.where(x2 != 0, 4 + _ctzb(x2), 8))
             add = jnp.minimum(add, maxn - c)
-            return c + add, (x == 0) & (c + add < maxn)
+            return c + add, (x1 == 0) & (x2 == 0) & (c + add < maxn)
 
         c, _ = jax.lax.while_loop(lambda st: st[1], body,
                                   (jnp.int32(0), maxn > 0))
@@ -143,76 +186,111 @@ def _encode_kernel(len_ref, dlen_ref, src_ref, out_ref, csize_ref,
     # attach pattern (lz4.c:1375-1414)
     if d0:
         def dins(q):
-            table[hash4(read4(q))] = (b << 18) | q
+            table[hash4(read4(q))] = (bt << 26) | q
             return q + dict_stride
 
         jax.lax.while_loop(lambda q: q < d0, dins, low)
 
+    def scan(p, srch):
+        """Scan to the next validated match (insert + probe + skip,
+        lz4.c:1023-1053). Returns (hit?, p, cand, srch). Measured
+        model (tools + /tmp scan probes): loop-iteration overhead
+        ~10 ns dwarfs SMEM loads (~2-3 ns), so the full 4-byte
+        candidate validation stays IN the scan (an extra per-hit
+        lax.cond costs more than the loads it saves)."""
+        def scan_body(s):
+            # TWO positions per iteration (straight-line VLIW packing
+            # measured 1.5x a single-position loop): exact skip-policy
+            # parity — gap one uses srch>>6, gap two (srch+1)>>6
+            sp, ssr, _hit, _cand = s
+            step = jax.lax.shift_right_logical(ssr, SKIP_TRIGGER)
+            sp1 = sp + step
+            seq0 = read4(sp)
+            h0 = hash4(seq0)
+            e0 = table[h0]
+            table[h0] = (bt << 26) | sp
+            cand0 = e0 & 0x3FFFF
+            hit0 = ((jax.lax.shift_right_logical(e0, 26) == bt)
+                    & (cand0 < sp) & (cand0 >= low)
+                    & (sp - cand0 <= 65535) & (read4(cand0) == seq0))
+            seq1 = read4(sp1)
+            h1 = hash4(seq1)
+            e1 = table[h1]
+            # on hit0 the single-step reference loop never visited p1:
+            # keep the entry unchanged via select-store
+            table[h1] = jnp.where(hit0, e1, (bt << 26) | sp1)
+            cand1 = e1 & 0x3FFFF
+            hit1 = (~hit0 & (sp1 <= mflimit)
+                    & (jax.lax.shift_right_logical(e1, 26) == bt)
+                    & (cand1 < sp1) & (cand1 >= low)
+                    & (sp1 - cand1 <= 65535) & (read4(cand1) == seq1))
+            hit = hit0 | hit1
+            padv = sp1 + jax.lax.shift_right_logical(ssr + 1,
+                                                     SKIP_TRIGGER)
+            return (jnp.where(hit, jnp.where(hit0, sp, sp1), padv),
+                    jnp.where(hit, ssr, ssr + 2), hit,
+                    jnp.where(hit0, cand0, cand1))
+
+        p, srch, hit, cand = jax.lax.while_loop(
+            lambda s: ~s[2] & (s[0] <= mflimit), scan_body,
+            (p, srch, jnp.bool_(False), jnp.int32(0)))
+        return hit, p, cand, srch
+
     def parse_body(st):
-        p, anchor, op, srch = st
-        seq = read4(p)
-        h = hash4(seq)
-        e = table[h]
-        table[h] = (b << 18) | p
-        cand = e & 0x3FFFF
-        hit = ((jax.lax.shift_right_logical(e, 18) == b)
-               & (cand < p) & (cand >= low) & (p - cand <= 65535)
-               & (read4(cand) == seq))
+        """One SEQUENCE per iteration, NO lax.cond anywhere on the
+        common path: the loop condition itself is "a match was
+        found", the body processes it unconditionally and then scans
+        for the next one."""
+        p, cand, anchor, op, pend, srch = st
 
-        def miss_fn(st):
-            p, anchor, op, srch = st
-            return (p + jax.lax.shift_right_logical(srch, SKIP_TRIGGER),
-                    anchor, op, srch + 1)
+        # back-extension (lz4.c:1002-1008 analog)
+        def back(st2):
+            p2, c2 = st2
+            return p2 - 1, c2 - 1
 
-        def hit_fn(st):
-            p, anchor, op, srch = st
+        p2, cand2 = jax.lax.while_loop(
+            lambda st2: (st2[0] > anchor) & (st2[1] > low)
+            & (rbyte(st2[0] - 1) == rbyte(st2[1] - 1)),
+            back, (p, cand))
+        offset = p2 - cand2
+        ml = (p - p2) + 4 + fwd_count(p + 4, cand + 4,
+                                      matchlimit - (p + 4))
+        litlen = p2 - anchor
+        m4 = ml - 4
 
-            # back-extension (lz4.c:1002-1008 analog)
-            def back(st2):
-                p2, c2 = st2
-                return p2 - 1, c2 - 1
+        # token
+        tok = (jnp.minimum(litlen, 15) << 4) | jnp.minimum(m4, 15)
+        op2, pend2 = emit1(op, pend, tok)
+        op2, pend2 = emit_len(op2, pend2, litlen - 15, litlen >= 15)
+        op2, pend2 = copy_lits(op2, pend2, anchor, litlen)
+        op2, pend2 = emit1(op2, pend2, offset & 255)
+        op2, pend2 = emit1(op2, pend2, offset >> 8)
+        op2, pend2 = emit_len(op2, pend2, m4 - 15, m4 >= 15)
 
-            p2, cand2 = jax.lax.while_loop(
-                lambda st2: (st2[0] > anchor) & (st2[1] > low)
-                & (rbyte(st2[0] - 1) == rbyte(st2[1] - 1)),
-                back, (p, cand))
-            offset = p2 - cand2
-            ml = 4 + fwd_count(p2 + 4, cand2 + 4,
-                               matchlimit - (p2 + 4))
-            litlen = p2 - anchor
-            m4 = ml - 4
+        # tail insert (blockcodec.c ip-2 pattern: denser table near
+        # match ends measurably improves the next-match hit rate)
+        t2 = p2 + ml - 2
+        s2 = read4(t2)
+        table[hash4(s2)] = (bt << 26) | t2
 
-            # token
-            tok = (jnp.minimum(litlen, 15) << 4) | jnp.minimum(m4, 15)
-            wbyte(op, tok)
-            op2 = op + 1
-            op2 = emit_len(op2, litlen - 15, litlen >= 15)
-            op2 = copy_lits(op2, anchor, litlen)
-            wbyte(op2, offset & 255)
-            wbyte(op2 + 1, offset >> 8)
-            op2 = op2 + 2
-            op2 = emit_len(op2, m4 - 15, m4 >= 15)
+        hit, pn, candn, srchn = scan(
+            p2 + ml, jnp.int32(acceleration << SKIP_TRIGGER))
+        anchor2 = p2 + ml
+        return (jnp.where(hit, pn, jnp.int32(-1)), candn, anchor2,
+                op2, pend2, srchn)
 
-            # tail insert (blockcodec.c ip-2 pattern: denser table near
-            # match ends measurably improves the next-match hit rate)
-            t2 = p2 + ml - 2
-            table[hash4(read4(t2))] = (b << 18) | t2
-            return (p2 + ml, p2 + ml, op2,
-                    jnp.int32(acceleration << SKIP_TRIGGER))
-
-        return jax.lax.cond(hit, hit_fn, miss_fn, (p, anchor, op, srch))
-
-    p, anchor, op, _ = jax.lax.while_loop(
-        lambda st: st[0] <= mflimit, parse_body,
-        (jnp.int32(d0), jnp.int32(d0), jnp.int32(0),
-         jnp.int32(acceleration << SKIP_TRIGGER)))
+    hit0, p0, cand0, srch0 = scan(
+        jnp.int32(d0), jnp.int32(acceleration << SKIP_TRIGGER))
+    _, _, anchor, op, pend, _ = jax.lax.while_loop(
+        lambda st: st[0] >= 0, parse_body,
+        (jnp.where(hit0, p0, jnp.int32(-1)), cand0, jnp.int32(d0),
+         jnp.int32(0), jnp.int32(0), srch0))
 
     # tail: the final literal run (>= LASTLITERALS bytes by construction)
     litlen = jnp.maximum(d0 + n - anchor, 0)
-    wbyte(op, jnp.minimum(litlen, 15) << 4)
-    op = op + 1
-    op = emit_len(op, litlen - 15, litlen >= 15)
-    op = copy_lits(op, anchor, litlen)
+    op, pend = emit1(op, pend, jnp.minimum(litlen, 15) << 4)
+    op, pend = emit_len(op, pend, litlen - 15, litlen >= 15)
+    op, pend = copy_lits(op, pend, anchor, litlen)
 
     csize_ref[b] = op
     trail_ref[b] = litlen
