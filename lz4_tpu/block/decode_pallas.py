@@ -8,47 +8,41 @@ sequentially in VMEM exactly like the reference's hot loop
 (LZ4_decompress_generic, lz4.c:2022-2445), with the TPU twist that
 every copy is a 128-lane vector op.
 
-Round-3 revision: the measured machine model (tools/session_r3d.py,
-session_r3e.py, session_pallas_probe3.py re-run) is that the TPU
-SCALAR unit retires roughly one operation per ~14 ns and gains
-NOTHING from interleaving independent chains (8 interleaved dep-load
-chains cost 7.7x one chain) — so per-sequence cost is simply
-scalar-op-count x 14 ns, and branch elimination / latency hiding /
-K-block interleave all move the needle <15%. The kernel therefore
-minimizes per-sequence scalar ops and puts every byte-moving op on
-the vector unit:
+Round-3 revision, built on the RTT-corrected machine model (every
+dispatch through the remote relay carries ~24.5 ms of latency, so all
+measurements amortize N async dispatches over one sync — see
+tools/session_r3e.py and the /tmp scan probes): scalar ALU is
+sub-ns/op when VLIW-packed, SMEM loads are a few ns, untaken control
+flow is free, and a take_along_axis gather costs ~250 ns. Per-seq
+costs on dense 64 KB streams: parse ~78 ns, literal copy ~29 ns,
+match copy ~70 ns → ~54 MB/s single-core. Design:
 
   * parses on the SCALAR unit from a packed-words SMEM copy,
-    select-based: ONE read4 fetches token + first literal-ext byte,
-    ONE read4 fetches offset + first match-ext byte, and the
-    255-chain loops (lz4.c:1978-2014 read_variable_length) only run
-    under a rare `lax.cond` when a chain exceeds one ext byte;
+    select-based: ONE read4 fetches token + two literal-ext bytes,
+    ONE read4 fetches offset + two match-ext bytes, so 255-chains of
+    <= 2 ext bytes resolve branch-free and a single merged lax.cond
+    escape covers the freak longer chains (lz4.c:1978-2014);
   * keeps the output block in VMEM as one-byte-per-lane int32 rows
     with a 128-byte PAD row in front, so a "window read" of 128/256
     consecutive bytes at ANY byte offset is a single 2/3-row load +
     one roll + one select — the aligned-source trick: reading at
     (src - dst%128) lands bytes directly in destination phase, no
     second roll, no broadcast;
-  * literal copies <= 128 bytes are ONE unconditional masked
-    read-modify-write of a (2, 128) slab — the analog of the
-    reference's wildCopy8/32 (lz4.c:463-572);
-  * overlap matches (offset < 128) replicate a period pattern with a
-    lane-local take_along_axis on the native (8, 128) tile — the
-    vector generalization of the reference's inc32table/dec64table
-    trick (lz4.c:2406-2418); far matches are a straight window RMW.
-    Match paths stay BRANCHED: executing both arms unconditionally
-    and selecting measured 2.8x slower than branching (the gather is
-    ~265 ns);
+  * short copies are FRONTIER writes (wfront): left-masked only —
+    everything right of the copy is garbage that the next sequence's
+    write overwrites, saving the length clamp and a scalar->vector
+    compare per copy (the moral analog of wildCopy8/32 overrun,
+    lz4.c:463-572);
+  * only truly overlapping matches (mlen > offset, not offset < 128)
+    pay the ~250 ns periodic gather — the vector inc32table/
+    dec64table (lz4.c:2406-2418); non-overlapping matches at any
+    offset are one straight window + wfront;
   * long copies (> 128 bytes) walk full rows, straight or periodic,
     selected once per copy (not per row);
-  * K blocks per grid step (static param, default 1) is kept as a
-    measured-and-rejected ILP experiment: K=4 is ~5% SLOWER than K=1
-    (no scalar ILP exists to harvest) and K=8 exceeds SMEM. The knob
-    remains for future hardware where the scalar unit pipelines.
-
-Measured plateau on dense host-encoded 64 KB streams: ~21 MB/s
-(~390 ns/sequence parse + ~140 ns/sequence copies), i.e. this design
-is scalar-op-bound, not memory- or vector-bound.
+  * K blocks per grid step (static, default 1): measured flat-to-
+    negative, kept as a knob; `loose` drops the two end-of-block
+    MFLIMIT checks for the big-block splitter's linked pieces
+    (native/blockcodec.c lz4t_split_stream).
 
 Error semantics mirror decode_jax._parse_tokens / _decode_one bit for
 bit (the sound-subset contract): any malformed stream sets err and the
@@ -78,7 +72,7 @@ PAD = LANES          # front pad row on both VMEM buffers (aligned windows)
 def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
                    out_ref, olen_ref, err_ref, *, cap_out: int,
                    r_in: int, r_out: int, d0: int = 0, K: int = 1,
-                   mode: str = "full"):
+                   mode: str = "full", loose: bool = False):
     """K blocks per grid step, one fused while_loop. words_ref:
     (K, 1, W) int32 SMEM — the compressed bytes packed 4/word
     little-endian (scalar parse side); comp_ref: (K, r_in, 128) int32
@@ -310,12 +304,18 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
         o_mid = o + litlen
 
         # ---- match half (absent on the last sequence) -----------------
-        bad_mid = (next_p > M) | (offset == 0) | (lit_end > M - 8)
+        # `loose` drops the two end-of-block MFLIMIT rules that only
+        # hold for whole blocks (lz4.c:242-249): the splitter-produced
+        # linked pieces of a big block legally end right after a match
+        bad_mid = (next_p > M) | (offset == 0)
+        if not loose:
+            bad_mid = bad_mid | (lit_end > M - 8)
         serr = serr | (~is_last & bad_mid)
         do_match = ~is_last & ~serr
         serr = serr | (do_match & ((o_mid - offset) < low))
         serr = serr | (do_match & ((o_mid + mlen) > ow))
-        serr = serr | (do_match & (o_mid > ow - 12))
+        if not loose:
+            serr = serr | (do_match & (o_mid > ow - 12))
         do_match = active & do_match & ~serr
 
         if mode not in ("nocopy", "litonly"):
@@ -380,10 +380,10 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("cap_out", "interpret",
-                                             "mode", "d0", "K"))
+                                             "mode", "d0", "K", "loose"))
 def _decode_pallas_raw(comp32, comp_lens, dict32, dlens, *, cap_out: int,
                        interpret: bool, mode: str = "full", d0: int = 0,
-                       K: int = 1):
+                       K: int = 1, loose: bool = False):
     B, r_in, _ = comp32.shape
     assert B % K == 0
     # rows: PAD + dict + data + window spill (window2 reads 3 rows)
@@ -399,7 +399,7 @@ def _decode_pallas_raw(comp32, comp_lens, dict32, dlens, *, cap_out: int,
              | (b4[..., 3] << 24))
     kern = functools.partial(_decode_kernel, cap_out=cap_out,
                              r_in=r_in, r_out=r_out, d0=d0, K=K,
-                             mode=mode)
+                             mode=mode, loose=loose)
     out, olen, errs = pl.pallas_call(
         kern,
         grid=(B // K,),
@@ -444,7 +444,8 @@ def default_interleave() -> int:
 
 def decode_blocks_pallas(comp, comp_lens, dict_bufs=None, dict_lens=None,
                          *, cap_out: int, interpret: bool | None = None,
-                         mode: str = "full", K: int | None = None):
+                         mode: str = "full", K: int | None = None,
+                         loose: bool = False):
     """Batched block decode on the serial-kernel path.
 
     Same contract as decode_jax.decode_blocks:
@@ -490,7 +491,8 @@ def decode_blocks_pallas(comp, comp_lens, dict_bufs=None, dict_lens=None,
         dlens = jnp.zeros((Bp,), jnp.int32)
     out, olen, errs = _decode_pallas_raw(
         comp32, comp_lens, dict32, dlens, cap_out=cap_out,
-        interpret=bool(interpret), mode=mode, d0=d0, K=K)
+        interpret=bool(interpret), mode=mode, d0=d0, K=K,
+        loose=loose)
     if Bp != B:
         out, olen, errs = out[:B], olen[:B], errs[:B]
     return out, olen, errs

@@ -109,6 +109,11 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.lz4t_split_stream.restype = ctypes.c_long
+    lib.lz4t_split_stream.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32)]
 
 
 class _XXH:
@@ -241,6 +246,28 @@ class _BlockCodec:
         n = self._lib.lz4t_compress_destsize(
             data, len(data), dst, dst_cap, ctypes.byref(consumed))
         return dst.raw[:n], consumed.value
+
+    def split_stream(self, comp: bytes, *, piece_cap: int = 66816,
+                     max_pieces: int = 72, out_limit: int = 65536):
+        """Split one LZ4 sequence stream into linked <= out_limit
+        pieces for the device big-block decode path (see
+        lz4t_split_stream in blockcodec.c). Returns (pieces_arena
+        uint8[np, piece_cap], piece_lens int32[np], piece_outs
+        int32[np]) or None when the stream is malformed (caller falls
+        back to the strict host decoder for the real error)."""
+        import numpy as np
+        comp = bytes(comp)
+        arena = np.zeros((max_pieces, piece_cap), np.uint8)
+        plens = np.zeros(max_pieces, np.int32)
+        pouts = np.zeros(max_pieces, np.int32)
+        r = self._lib.lz4t_split_stream(
+            comp, len(comp), arena.ctypes.data_as(ctypes.c_void_p),
+            piece_cap, max_pieces, out_limit,
+            plens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            pouts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if r < 0:
+            return None
+        return arena[:r], plens[:r], pouts[:r]
 
     def decompress(self, comp: bytes, max_out: int,
                    dict_prefix: bytes | None = None) -> bytes:

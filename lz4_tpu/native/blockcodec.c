@@ -590,3 +590,167 @@ long lz4t_decompress_batch(const uint8_t **srcs, const int32_t *clens,
     }
     return 0;
 }
+
+/* ---- stream splitter for the device big-block decode path ----------
+ *
+ * Rewrites one LZ4 sequence stream into consecutive "pieces", each
+ * decoding to at most out_limit bytes, each itself a valid sequence
+ * stream whose matches may reach up to 64 KB back into the previous
+ * pieces' output (the device decodes pieces as a linked chain with the
+ * 64 KB rolling-history dict mode). Sequences crossing a piece
+ * boundary are split: literal runs become two runs; matches become
+ * two match sequences with the same offset (both halves >= MINMATCH,
+ * the cut moves left when needed). A piece may end directly after a
+ * match with a bare 0x00 token tail — the device kernel decodes
+ * pieces in "loose" mode, which drops the end-of-block MFLIMIT checks
+ * that only hold for whole blocks (lz4.c:242-249).
+ *
+ * dst is an arena of max_pieces rows with stride piece_cap.
+ * Returns the piece count, -1 on malformed input, -2 on capacity. */
+
+static uint8_t *lz4t__wr_lits(uint8_t *op, const uint8_t *lp, long L,
+                              int matnib) {
+    if (L < 15) {
+        *op++ = (uint8_t)((L << 4) | matnib);
+    } else {
+        long rem = L - 15;
+        *op++ = (uint8_t)(0xF0 | matnib);
+        while (rem >= 255) { *op++ = 255; rem -= 255; }
+        *op++ = (uint8_t)rem;
+    }
+    if (L > 0) { memcpy(op, lp, (size_t)L); op += L; }
+    return op;
+}
+
+long lz4t_split_stream(const uint8_t *src, long n, uint8_t *dst,
+                       long piece_cap, long max_pieces, long out_limit,
+                       int32_t *piece_lens, int32_t *piece_outs) {
+    const uint8_t *ip = src, *iend = src + n;
+    long pi = 0;
+    uint8_t *pstart = dst, *op = dst;
+    long opos = 0;
+    int tail_is_lits = 0;     /* current piece already ends in literals */
+
+    if (max_pieces < 1 || out_limit < 16) return -2;
+
+#define LZ4T_CLOSE_PIECE() do {                                        \
+        if (!tail_is_lits) *op++ = 0x00;                               \
+        piece_lens[pi] = (int32_t)(op - pstart);                       \
+        piece_outs[pi] = (int32_t)opos;                                \
+        pi++;                                                          \
+        if (pi >= max_pieces) return -2;                               \
+        pstart = dst + pi * piece_cap;                                 \
+        op = pstart; opos = 0; tail_is_lits = 0;                       \
+    } while (0)
+
+    while (ip < iend) {
+        long tok, L, ML, off, lrem, mrem, first;
+        const uint8_t *lp;
+        tok = *ip++;
+        L = tok >> 4;
+        if (L == 15) {
+            unsigned b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                L += b;
+            } while (b == 255);
+        }
+        if (iend - ip < L) return -1;
+        lp = ip;
+        ip += L;
+        if (ip >= iend) {           /* final literal-only sequence */
+            ML = 0; off = 0;
+        } else {
+            if (iend - ip < 2) return -1;
+            off = ip[0] | ((long)ip[1] << 8);
+            ip += 2;
+            if (off == 0) return -1;
+            ML = (tok & 15);
+            if (ML == 15) {
+                unsigned b;
+                do {
+                    if (ip >= iend) return -1;
+                    b = *ip++;
+                    ML += b;
+                } while (b == 255);
+            }
+            ML += 4;
+        }
+
+        /* literal chunks that do not fit become literal tails */
+        lrem = L;
+        while (lrem > out_limit - opos) {
+            long t = out_limit - opos;
+            if (op + t + 300 > pstart + piece_cap) return -2;
+            op = lz4t__wr_lits(op, lp, t, 0);
+            opos += t; lp += t; lrem -= t;
+            tail_is_lits = 1;
+            LZ4T_CLOSE_PIECE();
+        }
+
+        if (ML == 0) {              /* block tail: flush and finish */
+            if (op + lrem + 300 > pstart + piece_cap) return -2;
+            op = lz4t__wr_lits(op, lp, lrem, 0);
+            opos += lrem;
+            tail_is_lits = 1;
+            break;
+        }
+
+        /* one or more match sequences, splitting at piece boundaries */
+        first = 1;
+        mrem = ML;
+        while (mrem > 0) {
+            long lits_here = first ? lrem : 0;
+            long space = out_limit - opos - lits_here;
+            long m, m4;
+            if (space < 4) {
+                if (lits_here) {
+                    if (op + lits_here + 300 > pstart + piece_cap)
+                        return -2;
+                    op = lz4t__wr_lits(op, lp, lits_here, 0);
+                    opos += lits_here;
+                    tail_is_lits = 1;
+                    first = 0;
+                }
+                LZ4T_CLOSE_PIECE();
+                continue;
+            }
+            m = mrem <= space ? mrem : space;
+            if (m < mrem && mrem - m < 4) m = mrem - 4;
+            if (m < 4) { /* can't carve >=4 here: close, retry fresh */
+                if (lits_here) {
+                    if (op + lits_here + 300 > pstart + piece_cap)
+                        return -2;
+                    op = lz4t__wr_lits(op, lp, lits_here, 0);
+                    opos += lits_here;
+                    tail_is_lits = 1;
+                    first = 0;
+                }
+                LZ4T_CLOSE_PIECE();
+                continue;
+            }
+            m4 = m - 4;
+            if (op + lits_here + 300 > pstart + piece_cap) return -2;
+            op = lz4t__wr_lits(op, lp, lits_here,
+                               (int)(m4 < 15 ? m4 : 15));
+            opos += lits_here;
+            *op++ = (uint8_t)(off & 255);
+            *op++ = (uint8_t)(off >> 8);
+            if (m4 >= 15) {
+                long rem = m4 - 15;
+                while (rem >= 255) { *op++ = 255; rem -= 255; }
+                *op++ = (uint8_t)rem;
+            }
+            opos += m;
+            mrem -= m;
+            first = 0;
+            tail_is_lits = 0;
+        }
+    }
+    /* final piece */
+    piece_lens[pi] = (int32_t)(op - pstart);
+    piece_outs[pi] = (int32_t)opos;
+    return pi + 1;
+#undef LZ4T_CLOSE_PIECE
+}

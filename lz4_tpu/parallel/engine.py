@@ -108,7 +108,7 @@ def _linked_encode_step(src, lens, head_dict, head_dict_len, *,
     total int32): offsets = ordered frame placement (exclusive prefix
     sum of csizes — the WriteRegister analog).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     ndev = mesh.shape[axis]
 
@@ -241,6 +241,56 @@ def merge_segment_streams(block_src: bytes, streams, trailings) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# segmented big-block decode: linked piece waves
+# ---------------------------------------------------------------------------
+#
+# Blocks above the 1 MB Pallas VMEM tier (the CLI-default -B7 = 4 MB)
+# decode ON DEVICE as a chain of <= 64 KB linked pieces: the host C
+# splitter (native/blockcodec.c lz4t_split_stream) rewrites the stream
+# into self-contained piece streams at sequence granularity (splitting
+# literal runs and matches that cross a boundary), and ONE jitted
+# lax.scan drives the Pallas dict-mode kernel over the piece waves with
+# the 64 KB rolling history carried on device — the decode-side mirror
+# of the segmented encode's seam folding, serving every big tier with
+# the one warm 64 KB kernel (reference analog: one decoder for all
+# sizes, lz4.c:2022-2445).
+
+PIECE_CAP = 66816       # 64 KB output + worst-case headers, lane-padded
+MAX_PIECES = 72         # 4 MB / 64 KB plus split slack
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _decode_pieces_scan(pieces, plens, hist0, hlen0, *, interpret: bool):
+    """pieces uint8[B, MAX_PIECES, PIECE_CAP], plens int32[B, MP],
+    hist0 uint8[B, 64K] right-aligned, hlen0 int32[B] ->
+    (outs uint8[MP, B, 64K], olens int32[MP, B], errs int32[MP, B])."""
+    from lz4_tpu.block.decode_pallas import decode_blocks_pallas
+    DC = 65536
+
+    def step(carry, xs):
+        hist, hlen = carry
+        comp_k, len_k = xs
+        out, olen, err = decode_blocks_pallas(
+            comp_k, len_k, hist, hlen, cap_out=DC,
+            interpret=interpret, loose=True)
+        empty = len_k == 0              # padded wave slots: not errors
+        err = jnp.where(empty, 0, err)
+        olen = jnp.where(empty, 0, olen)
+
+        def row(h, o, ol):
+            ext = jnp.concatenate([h, o])
+            return jax.lax.dynamic_slice(ext, (ol,), (DC,))
+
+        nh = jax.vmap(row)(hist, out, olen)
+        nhl = jnp.minimum(hlen + olen, DC)
+        return (nh, nhl), (out, olen, err)
+
+    xs = (jnp.moveaxis(pieces, 1, 0), jnp.moveaxis(plens, 1, 0))
+    _, (outs, olens, errs) = jax.lax.scan(step, (hist0, hlen0), xs)
+    return outs, olens, errs
+
+
+# ---------------------------------------------------------------------------
 # BlockBackend implementation over the device codec
 # ---------------------------------------------------------------------------
 
@@ -270,12 +320,13 @@ class TpuBackend:
         self.max_device_size = max_device_size if max_device_size \
             else int(os.environ.get("LZ4_TPU_MAX_DEVICE_BLOCK",
                                     str(4 * 1024 * 1024)))
-        # DECODE cap: decode graphs are tier-sized (cap_out = tier), so
-        # each tier above 64 KB is a fresh relay compile (tens of
-        # minutes, once, persistently cached); bounded until the big
-        # tiers' compile cost is measured on-device
+        # DECODE cap: the Pallas serial kernel is VMEM-bounded at the
+        # 1 MB tier (compiles in seconds per tier); the 4 MB tier
+        # decodes as linked 64 KB pieces via the host stream splitter
+        # (decompress_big_batch) so default-flags -B7 round trips stay
+        # on-device
         self.max_device_decode_size = int(os.environ.get(
-            "LZ4_TPU_MAX_DEVICE_DECODE_BLOCK", "65536"))
+            "LZ4_TPU_MAX_DEVICE_DECODE_BLOCK", str(4 * 1024 * 1024)))
         # dict/linked-mode graphs: measured on-device 2026-08-18
         # (tools/session_bscale.py, /tmp/sessA.log): encode compile
         # 85 min (one-time, persistent cache), 14.2 MB/s; decode
@@ -300,6 +351,31 @@ class TpuBackend:
         if getattr(self, "_host_be", None) is None:
             self._host_be = HostBackend(nb_workers=self.nb_workers)
         return self._host_be
+
+    def _pallas_platform_ok(self) -> bool:
+        """The serial kernels lower via Mosaic on TPU; on CPU meshes
+        they run in (slow) interpret mode, so the CPU path is opt-in
+        via LZ4_TPU_PALLAS_CPU=1 (the multichip dryrun and the
+        shard-invariance tests set it; the plain forced-CPU suite
+        keeps the fast sort/scan graphs)."""
+        import os
+        plat = jax.devices()[0].platform
+        return plat == "tpu" or (
+            plat == "cpu"
+            and os.environ.get("LZ4_TPU_PALLAS_CPU", "0") == "1")
+
+    def _shard_pallas(self, fn, n_in):
+        """Wrap a per-shard Pallas batch call in shard_map over the
+        codec mesh: every device runs the SAME serial kernel on its
+        local batch shard — the reference's same-hot-loop-per-worker
+        property (lz4io.c:659-690) on ICI instead of pthreads."""
+        from jax import shard_map
+        mesh, axis = self.codec.mesh, self.codec.axis
+        # check_vma=False: pallas_call out_shapes carry no vma info
+        return shard_map(fn, mesh=mesh,
+                         in_specs=tuple([P(self.codec.axis)] * n_in),
+                         out_specs=(P(axis), P(axis), P(axis)),
+                         check_vma=False)
 
     def _unit(self) -> int:
         nd = self.codec.n_devices if self.codec else 1
@@ -342,23 +418,44 @@ class TpuBackend:
         # compile. Acceleration buckets to powers of two to bound the
         # compiled-program set.
         use_pallas = (not lazy and n_cand <= 2
-                      and self.pallas_encode and self.codec is None
-                      and jax.devices()[0].platform == "tpu")
+                      and self.pallas_encode
+                      and self._pallas_platform_ok())
         if use_pallas:
             from lz4_tpu.block.encode_pallas import encode_blocks_pallas
             accel_b = 1 << min(6, max(0, int(acceleration) - 1)
                                .bit_length())  # 1,2,4,...,64
             accel_b = accel_b if acceleration > 1 else 1
+            if self.codec is not None:
+                # same serial kernel on every mesh device's shard
+                # (lz4io.c:659-690 same-hot-loop-per-worker analog)
+                interp = jax.devices()[0].platform == "cpu"
+                if has_dict:
+                    pall = self._shard_pallas(
+                        lambda s, l, db, dl: encode_blocks_pallas(
+                            s, l, db, dl, cap_n=cap_n,
+                            acceleration=accel_b, interpret=interp), 4)
+                else:
+                    pall = self._shard_pallas(
+                        lambda s, l: encode_blocks_pallas(
+                            s, l, cap_n=cap_n, acceleration=accel_b,
+                            interpret=interp), 2)
         unit = self._unit()
         outs, sizes, trails = [], [], []
         for i in range(0, B, unit):      # fixed-shape dispatches, pipelined
             sl = slice(i, i + unit)
-            if use_pallas:
+            if use_pallas and self.codec is not None:
+                args = (jnp.asarray(src[sl]), jnp.asarray(lens[sl]))
+                if has_dict:
+                    args += (jnp.asarray(dict_bufs[sl]),
+                             jnp.asarray(dict_lens[sl]))
+                o, cs, tr = pall(*args)
+            elif use_pallas:
                 o, cs, tr = encode_blocks_pallas(
                     jnp.asarray(src[sl]), jnp.asarray(lens[sl]),
                     jnp.asarray(dict_bufs[sl]) if has_dict else None,
                     jnp.asarray(dict_lens[sl]) if has_dict else None,
-                    cap_n=cap_n, acceleration=accel_b, interpret=False)
+                    cap_n=cap_n, acceleration=accel_b,
+                    interpret=jax.devices()[0].platform == "cpu")
             elif self.codec is not None:
                 o, cs, tr = self.codec.encode(
                     src[sl], lens[sl], dict_bufs[sl], dict_lens[sl],
@@ -443,6 +540,70 @@ class TpuBackend:
             acceleration=acceleration)
         return out
 
+    def _decompress_big_batch(self, blocks, max_outs, dict_prefixes):
+        """Blocks above the 1 MB Pallas tier: split + linked piece
+        waves on device (see _decode_pieces_scan). Falls back to the
+        strict host decoder when the splitter rejects a stream (the
+        host raises the canonical error) or native is unavailable."""
+        try:
+            from lz4_tpu import native
+            bc = native.blockcodec
+            assert hasattr(bc, "split_stream")
+        except Exception:
+            bc = None
+        if bc is None:
+            return self._host().decompress_batch(
+                blocks, max_outs, dict_prefixes=dict_prefixes)
+        from lz4_tpu.block.ref_codec import BlockDecodeError
+        B = len(blocks)
+        UNIT = 4
+        Bp = -(-B // UNIT) * UNIT
+        pieces = np.zeros((Bp, MAX_PIECES, PIECE_CAP), np.uint8)
+        plens = np.zeros((Bp, MAX_PIECES), np.int32)
+        pouts = np.zeros((Bp, MAX_PIECES), np.int64)
+        for i, blk in enumerate(blocks):
+            r = bc.split_stream(blk, piece_cap=PIECE_CAP,
+                                max_pieces=MAX_PIECES, out_limit=65536)
+            if r is None:
+                return self._host().decompress_batch(
+                    blocks, max_outs, dict_prefixes=dict_prefixes)
+            arena, pl_, po_ = r
+            k = len(pl_)
+            pieces[i, :k] = arena
+            plens[i, :k] = pl_
+            pouts[i, :k] = po_
+        hist = np.zeros((Bp, 65536), np.uint8)
+        hlen = np.zeros(Bp, np.int32)
+        if dict_prefixes is not None:
+            for i, d in enumerate(dict_prefixes):
+                if d:
+                    d = bytes(d)[-65536:]
+                    hist[i, 65536 - len(d):] = np.frombuffer(d, np.uint8)
+                    hlen[i] = len(d)
+        interp = jax.devices()[0].platform == "cpu"
+        outs, olens, errs = _decode_pieces_scan(
+            jnp.asarray(pieces), jnp.asarray(plens), jnp.asarray(hist),
+            jnp.asarray(hlen), interpret=interp)
+        outs = np.asarray(outs)
+        olens = np.asarray(olens)
+        errs = np.asarray(errs)
+        res = []
+        for i in range(B):
+            parts = []
+            for k in range(MAX_PIECES):
+                if plens[i, k] == 0:
+                    break
+                if errs[k, i] or olens[k, i] != pouts[i, k]:
+                    raise BlockDecodeError(f"malformed block {i}")
+                parts.append(outs[k, i, : olens[k, i]].tobytes())
+            whole = b"".join(parts)
+            if len(whole) > max_outs[i]:
+                raise BlockDecodeError(
+                    f"block {i} decodes to {len(whole)} > cap "
+                    f"{max_outs[i]}")
+            res.append(whole)
+        return res
+
     def decompress_batch(self, blocks, max_outs, *, dict_prefixes=None):
         if not blocks:
             return []
@@ -453,6 +614,13 @@ class TpuBackend:
         if (max(len(b) for b in blocks) < self.min_device_size
                 and mo < self.min_device_size) \
                 or mo > self.max_device_decode_size:
+            return self._host().decompress_batch(
+                blocks, max_outs, dict_prefixes=dict_prefixes)
+        if mo > (1 << 20):
+            # above the Pallas VMEM tier: linked piece waves (-B7)
+            if self.pallas_decode and self._pallas_platform_ok():
+                return self._decompress_big_batch(
+                    blocks, max_outs, dict_prefixes)
             return self._host().decompress_batch(
                 blocks, max_outs, dict_prefixes=dict_prefixes)
         from lz4_tpu.block.decode_jax import DICT_CAP as DCAP
@@ -497,24 +665,40 @@ class TpuBackend:
                  np.zeros((B - dict_bufs.shape[0], DCAP), np.uint8)])
             dict_lens = np.concatenate(
                 [dict_lens, np.zeros(B - dict_lens.shape[0], np.int32)])
-        # serial-kernel route: single-chip TPU decode via the Pallas
-        # wildcopy kernel (scalar parse + vector copies; dict/linked
-        # history rides as a VMEM prefix) — VMEM-bounded to the <= 1 MB
-        # tiers
-        use_pallas = (self.pallas_decode
-                      and self.codec is None and cap_out <= (1 << 20)
-                      and jax.devices()[0].platform == "tpu")
+        # serial-kernel route: TPU decode via the Pallas wildcopy
+        # kernel (scalar parse + vector copies; dict/linked history
+        # rides as a VMEM prefix) — VMEM-bounded to the <= 1 MB tiers;
+        # on a mesh, shard_map runs the same kernel per device shard
+        use_pallas = (self.pallas_decode and cap_out <= (1 << 20)
+                      and self._pallas_platform_ok())
         if use_pallas:
             from lz4_tpu.block.decode_pallas import decode_blocks_pallas
+            interp = jax.devices()[0].platform == "cpu"
+            if self.codec is not None:
+                if has_dict:
+                    pall = self._shard_pallas(
+                        lambda c, l, db, dl: decode_blocks_pallas(
+                            c, l, db, dl, cap_out=cap_out,
+                            interpret=interp), 4)
+                else:
+                    pall = self._shard_pallas(
+                        lambda c, l: decode_blocks_pallas(
+                            c, l, cap_out=cap_out, interpret=interp), 2)
         outs, olens, oerrs = [], [], []
         for i in range(0, B, unit):      # fixed-shape dispatches, pipelined
             sl = slice(i, i + unit)
-            if use_pallas:
+            if use_pallas and self.codec is not None:
+                args = (jnp.asarray(comp[sl]), jnp.asarray(lens[sl]))
+                if has_dict:
+                    args += (jnp.asarray(dict_bufs[sl]),
+                             jnp.asarray(dict_lens[sl]))
+                o, ol, oe = pall(*args)
+            elif use_pallas:
                 o, ol, oe = decode_blocks_pallas(
                     jnp.asarray(comp[sl]), jnp.asarray(lens[sl]),
                     jnp.asarray(dict_bufs[sl]) if has_dict else None,
                     jnp.asarray(dict_lens[sl]) if has_dict else None,
-                    cap_out=cap_out, interpret=False)
+                    cap_out=cap_out, interpret=interp)
             elif self.codec is not None:
                 o, ol, oe = self.codec.decode(
                     comp[sl], lens[sl], dict_bufs[sl], dict_lens[sl],
