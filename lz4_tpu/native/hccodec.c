@@ -101,8 +101,12 @@ static size_t hc_search(hc_tables *t, const uint8_t *base, long p,
             base[c + best] != base[p + best])
             goto next_cand;
         if (!(favor && off < 8) && read32(base + c) == read32(base + p)) {
-            size_t ml = MINMATCH + mlen_fwd(base + p + MINMATCH,
-                                            base + c + MINMATCH, limit);
+            size_t ml;
+#if defined(__GNUC__)
+            __builtin_prefetch(base + t->chain[c & ((1 << 17) - 1)]);
+#endif
+            ml = MINMATCH + mlen_fwd(base + p + MINMATCH,
+                                     base + c + MINMATCH, limit);
             if (ml > best) { best = ml; *mpos = (long)c;
                 /* saturated: the match reaches the scan limit — no
                  * deeper candidate can beat it (degenerate-chain guard
@@ -254,7 +258,11 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
     /* sufficient-length immediate accept (lz4hc.c:1872-1882 analog):
      * a match this long is always taken whole; positions inside it are
      * not re-searched — turns O(run^2) RLE scans into O(run) */
-    const long ACCEPT_LEN = 1024;
+    /* levels <= 9 also skip re-searching inside any match that hit
+     * the sufficient-length bar — the reference's sufficient_len
+     * accept (lz4hc.c:1872-1882); 10-12 keep the exhaustive re-search
+     * (their parity margins are thin) */
+    const long ACCEPT_LEN = lv <= 9 ? (suff < 1024 ? suff : 1024) : 1024;
     long skip_until = 0;
     /* carried match: position i inherits (c+1, best-1) from position
      * i-1's search result — a valid match with the same offset — so the
@@ -355,7 +363,12 @@ static long compress_opt(hc_tables *t, const uint8_t *src, long n,
                             goto opt_next_cand;
                         if (!(favor && off < 8) &&
                             read32(base + c) == read32(base + pos)) {
-                            size_t ml = MINMATCH + mlen_fwd(
+                            size_t ml;
+#if defined(__GNUC__)
+                            __builtin_prefetch(
+                                base + t->chain[c & ((1 << 17) - 1)]);
+#endif
+                            ml = MINMATCH + mlen_fwd(
                                 base + pos + MINMATCH, base + c + MINMATCH,
                                 limit);
                             if (ml > best) { best = ml; mpos = (long)c;
