@@ -307,6 +307,46 @@ def main() -> None:
             "device": str(jax.devices()[0].platform),
         },
     }
+
+    # speed-regression gate (test-lz4-speed.py 0.98-alarm analog): WARN
+    # loudly when any tracked path falls below 0.9x the previous round's
+    # recorded bench (BENCH_r*.json written by the driver)
+    try:
+        import glob
+        import re as _re
+        hist = sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+            key=lambda p: int(_re.search(r"r(\d+)", p).group(1)))
+        if hist:
+            with open(hist[-1]) as f:
+                rec = json.load(f)
+            prev = rec.get("parsed") or rec      # driver wraps in "parsed"
+        else:
+            prev = None
+    except Exception:
+        prev = None
+    try:
+        if prev:
+            prev_d = prev.get("detail", {})
+            checks = [
+                ("compress_MBs", result["value"], prev.get("value")),
+                ("decompress_MBs", result["detail"]["decompress_MBs"],
+                 prev_d.get("decompress_MBs")),
+                ("host_compress_MBs", host_mbs,
+                 prev_d.get("host_compress_MBs")),
+                ("host_decompress_MBs", host_dec_mbs,
+                 prev_d.get("host_decompress_MBs")),
+            ]
+            regressed = []
+            for name, cur, old in checks:
+                if cur and old and cur < 0.9 * old:
+                    regressed.append(f"{name} {cur} < 0.9x prev {old}")
+                    _log(f"SPEED REGRESSION: {name} = {cur} MB/s is below "
+                         f"0.9x the previous round's {old} MB/s")
+            if regressed:
+                result["detail"]["regressions"] = regressed
+    except Exception as e:
+        _log(f"regression gate skipped: {e}")
     print(json.dumps(result))
 
 

@@ -51,9 +51,9 @@ HASH_MUL = np.int32(np.uint32(2654435761))   # Knuth multiplier (format const)
 SKIP_TRIGGER = 6
 
 
-def _encode_kernel(len_ref, dlen_ref, src_ref, out_ref, csize_ref,
-                   trail_ref, table, *, n_words: int, w_out: int,
-                   d0: int, acceleration: int = 1, dict_stride: int = 1):
+def _encode_kernel(len_ref, dlen_ref, accel_ref, src_ref, out_ref,
+                   csize_ref, trail_ref, table, *, n_words: int,
+                   w_out: int, d0: int, dict_stride: int = 1):
     """One block per grid step. src_ref: (1, 1, n_words) int32 SMEM
     (bytes packed 4/word LE) laid out as [d0 history bytes | block];
     out_ref: (1, 1, w_out) int32 SMEM; csize/trail: SMEM scalars;
@@ -63,6 +63,10 @@ def _encode_kernel(len_ref, dlen_ref, src_ref, out_ref, csize_ref,
     b = pl.program_id(0)
     bt = b & 63                            # entry tag (6 bits)
     n = len_ref[b]
+    # RUNTIME acceleration (reference range 1..65537, lz4.c:52-58): a
+    # scalar input, not a compile-time constant — one compiled program
+    # serves every --fast=# level
+    accel0 = accel_ref[0] << SKIP_TRIGGER
     d = jnp.minimum(dlen_ref[b], d0) if d0 else jnp.int32(0)
     low = d0 - d                           # first valid history byte
     mflimit = d0 + n - MFLIMIT             # last pos a match may start at
@@ -273,14 +277,12 @@ def _encode_kernel(len_ref, dlen_ref, src_ref, out_ref, csize_ref,
         s2 = read4(t2)
         table[hash4(s2)] = (bt << 26) | t2
 
-        hit, pn, candn, srchn = scan(
-            p2 + ml, jnp.int32(acceleration << SKIP_TRIGGER))
+        hit, pn, candn, srchn = scan(p2 + ml, accel0)
         anchor2 = p2 + ml
         return (jnp.where(hit, pn, jnp.int32(-1)), candn, anchor2,
                 op2, pend2, srchn)
 
-    hit0, p0, cand0, srch0 = scan(
-        jnp.int32(d0), jnp.int32(acceleration << SKIP_TRIGGER))
+    hit0, p0, cand0, srch0 = scan(jnp.int32(d0), accel0)
     _, _, anchor, op, pend, _ = jax.lax.while_loop(
         lambda st: st[0] >= 0, parse_body,
         (jnp.where(hit0, p0, jnp.int32(-1)), cand0, jnp.int32(d0),
@@ -296,24 +298,22 @@ def _encode_kernel(len_ref, dlen_ref, src_ref, out_ref, csize_ref,
     trail_ref[b] = litlen
 
 
-@functools.partial(jax.jit, static_argnames=("cap_n", "acceleration",
-                                             "interpret", "d0",
-                                             "dict_stride"))
-def _encode_pallas_raw(src32, lens, dlens, *, cap_n: int,
-                       acceleration: int, interpret: bool, d0: int,
-                       dict_stride: int):
+@functools.partial(jax.jit, static_argnames=("cap_n", "interpret",
+                                             "d0", "dict_stride"))
+def _encode_pallas_raw(src32, lens, dlens, accel, *, cap_n: int,
+                       interpret: bool, d0: int, dict_stride: int):
     B, _, n_words = src32.shape
     bound = compress_bound(cap_n)
     w_out = -(-(bound + 4) // 4)
     w_out += (-w_out) % 128
     kern = functools.partial(_encode_kernel, n_words=n_words,
                              w_out=w_out, d0=d0,
-                             acceleration=acceleration,
                              dict_stride=dict_stride)
     out_w, csizes, trailing = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, n_words), lambda i: (i, 0, 0),
@@ -334,7 +334,8 @@ def _encode_pallas_raw(src32, lens, dlens, *, cap_n: int,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(lens.astype(jnp.int32), dlens.astype(jnp.int32), src32)
+    )(lens.astype(jnp.int32), dlens.astype(jnp.int32),
+      accel.astype(jnp.int32), src32)
     w = out_w.reshape(B, w_out)
     by = jnp.stack([w & 255, (w >> 8) & 255, (w >> 16) & 255,
                     jax.lax.shift_right_logical(w, 24) & 255], axis=-1)
@@ -382,7 +383,8 @@ def encode_blocks_pallas(src, lens, dict_bufs=None, dict_lens=None, *,
         full = src
         dlens = jnp.zeros((B,), jnp.int32)
     words = _pack_words(full, n_words)
-    return _encode_pallas_raw(words, lens, dlens, cap_n=cap_n,
-                              acceleration=int(acceleration),
+    # reference acceleration range (lz4.c:52-58), runtime scalar
+    acc = jnp.asarray([min(max(int(acceleration), 1), 65537)], jnp.int32)
+    return _encode_pallas_raw(words, lens, dlens, acc, cap_n=cap_n,
                               interpret=bool(interpret), d0=d0,
                               dict_stride=int(dict_stride))

@@ -415,16 +415,17 @@ class TpuBackend:
         # the sort/scan graphs, 0.991x reference size
         # (tools/session_pallas_encode.py); linked/dict mode hashes the
         # history window in-kernel instead of the 85-min has_dict XLA
-        # compile. Acceleration buckets to powers of two to bound the
-        # compiled-program set.
+        # compile. Acceleration is a runtime scalar (full reference
+        # range, one compiled program).
         use_pallas = (not lazy and n_cand <= 2
                       and self.pallas_encode
                       and self._pallas_platform_ok())
         if use_pallas:
             from lz4_tpu.block.encode_pallas import encode_blocks_pallas
-            accel_b = 1 << min(6, max(0, int(acceleration) - 1)
-                               .bit_length())  # 1,2,4,...,64
-            accel_b = accel_b if acceleration > 1 else 1
+            # acceleration is a RUNTIME scalar in the kernel: the full
+            # reference range 1..65537 (lz4.c:52-58) rides one compiled
+            # program, no power-of-two bucketing
+            accel_b = int(acceleration)
             if self.codec is not None:
                 # same serial kernel on every mesh device's shard
                 # (lz4io.c:659-690 same-hot-loop-per-worker analog)
@@ -504,13 +505,53 @@ class TpuBackend:
             idx += m
         return results
 
+    #: HC levels served by the Pallas chain kernel (encode_hc_pallas):
+    #: graded at/under the reference; 5+ grade up to 1.008x over (the
+    #: Search3/pattern-analysis remainder) and keep the host DP tier
+    PALLAS_HC_LEVELS = (3, 4)
+
+    def _compress_hc_pallas(self, blocks, *, level, favor_dec_speed):
+        """No-dict HC batch on the device chain kernel (64 KB tier)."""
+        from lz4_tpu.block.encode_hc_pallas import encode_blocks_hc_pallas
+        cap_n = _pad_cap(max(len(b) for b in blocks))
+        B = self._round_batch(len(blocks))
+        src = np.zeros((B, cap_n), np.uint8)
+        lens = np.zeros(B, np.int32)
+        for i, blk in enumerate(blocks):
+            src[i, : len(blk)] = np.frombuffer(blk, np.uint8)
+            lens[i] = len(blk)
+        interp = jax.devices()[0].platform == "cpu"
+        unit = self._unit()
+        outs, sizes = [], []
+        for i in range(0, B, unit):
+            sl = slice(i, i + unit)
+            o, cs, _ = encode_blocks_hc_pallas(
+                jnp.asarray(src[sl]), jnp.asarray(lens[sl]),
+                cap_n=cap_n, level=level, interpret=interp,
+                favor_dec_speed=favor_dec_speed)
+            outs.append(o)
+            sizes.append(cs)
+        out = np.concatenate([np.asarray(o) for o in outs], axis=0)
+        csizes = np.concatenate([np.asarray(c) for c in sizes])
+        return [out[i, : csizes[i]].tobytes() for i in range(len(blocks))]
+
     def compress_batch(self, blocks, *, level=0, acceleration=1,
                        dict_prefixes=None, favor_dec_speed=False):
         if not blocks:
             return []
         # level 2 runs on device (the "mid" tier analog, lz4hc.c:476-773);
-        # deeper levels stay on the host DP parser for now
+        # levels 3-4 ride the Pallas chain kernel (no dict, 64 KB tier);
+        # deeper levels stay on the host DP parser (size-bar holder)
         device_hc = level == 2
+        if level in self.PALLAS_HC_LEVELS and self._pallas_platform_ok() \
+                and self.pallas_encode and self.codec is None \
+                and (dict_prefixes is None
+                     or not any(dict_prefixes)) \
+                and max(len(b) for b in blocks) <= 65536 \
+                and max(len(b) for b in blocks) >= self.min_device_size \
+                and not favor_dec_speed:
+            return self._compress_hc_pallas(
+                blocks, level=level, favor_dec_speed=favor_dec_speed)
         if level >= 2 and not device_hc:
             return self._host().compress_batch(
                 blocks, level=level, acceleration=acceleration,

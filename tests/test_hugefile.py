@@ -1,0 +1,82 @@
+"""GB-scale streamed round trips (env-gated like the torture run) —
+the analog of the reference's hugefile suite
+(/root/reference/tests/test-lz4hc-hugefile.sh, 6-9 GB datagen pipes).
+
+Exercises the paths the small tests cannot: segmented big-block seam
+folding over thousands of seams, the linked-mode history carry across
+a GB of blocks, multi-chunk frame writing, and the sparse writer, all
+byte-verified via streaming XXH32.
+
+Run: LZ4_TPU_HUGE=1 python -m pytest tests/test_hugefile.py -q
+(LZ4_TPU_HUGE_MB sets the size, default 1024).
+"""
+import os
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("LZ4_TPU_HUGE"),
+    reason="set LZ4_TPU_HUGE=1 for the GB-scale run")
+
+
+def _gen_file(path: str, mb: int) -> int:
+    """Deterministic mixed-compressibility data, written streaming."""
+    from lz4_tpu.utils.datagen import gen_buffer
+    h = 0
+    with open(path, "wb") as f:
+        for i in range(mb):
+            chunk = gen_buffer(1024 * 1024,
+                               match_prob=0.55 + 0.3 * ((i % 7) / 6),
+                               seed=1000 + i)
+            f.write(chunk)
+    return mb * 1024 * 1024
+
+
+def _xxh32_file(path: str) -> int:
+    from lz4_tpu.xxh32 import XXH32State
+    st = XXH32State()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(1 << 20)
+            if not b:
+                break
+            st.update(b)
+    return st.digest()
+
+
+@pytest.mark.parametrize("mode", ["b7_indep", "b4_linked"])
+def test_huge_roundtrip(tmp_path, mode):
+    from lz4_tpu.io.engine import IoPrefs, compress_file, decompress_file
+
+    mb = int(os.environ.get("LZ4_TPU_HUGE_MB", "1024"))
+    src = str(tmp_path / "huge.bin")
+    lz4 = str(tmp_path / "huge.bin.lz4")
+    out = str(tmp_path / "huge.out")
+    n = _gen_file(src, mb)
+    want = _xxh32_file(src)
+
+    if mode == "b7_indep":
+        prefs = IoPrefs(block_size_id=7, block_independence=True,
+                        nb_workers=int(os.environ.get("LZ4_NBWORKERS",
+                                                      "4")))
+    else:
+        prefs = IoPrefs(block_size_id=4, block_independence=False)
+    tin, tout = compress_file(src, lz4, prefs)
+    assert tin == n
+    assert 0 < tout < n
+    os.unlink(src)
+
+    din, dout = decompress_file(lz4, out, IoPrefs())
+    assert dout == n
+    assert _xxh32_file(out) == want
+    os.unlink(out)
+
+    # the reference CLI must verify our GB-scale frame end to end
+    import subprocess
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ref_oracle
+    if ref_oracle.ensure_built():
+        r = subprocess.run([ref_oracle.REF_CLI, "-t", lz4],
+                           capture_output=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-400:]
