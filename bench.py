@@ -223,10 +223,25 @@ def main() -> None:
     dec_mbs = (n / 1e6) / t_dec
 
     # correctness oracle: round trip must be byte-exact (XXH32 check,
-    # bench.c crcOrig pattern)
+    # bench.c crcOrig pattern). The decoded blocks are hashed ON DEVICE
+    # (xxh32_device batch scan) and compared against host-hashed source
+    # blocks — integrity verification without shipping the decoded
+    # corpus back through the relay.
     assert not np.asarray(errs).any(), "decode error flag set"
-    rt = np.concatenate([np.asarray(o) for o in douts], axis=0).tobytes()
-    assert xxh32(rt) == xxh32(data), "round-trip mismatch"
+    try:
+        from lz4_tpu.xxh32_device import xxh32_blocks
+        want = np.asarray([xxh32(data[i: i + bs])
+                           for i in range(0, n, bs)], np.uint32)
+        got = np.concatenate([
+            np.asarray(xxh32_blocks(o, jnp.full(o.shape[0], bs,
+                                                jnp.int32), cap=bs))
+            for o in douts]).astype(np.uint32)
+        assert (got == want).all(), "round-trip mismatch (device XXH32)"
+        _log("round trip verified via device-side XXH32")
+    except ImportError:              # pragma: no cover
+        rt = np.concatenate([np.asarray(o) for o in douts],
+                            axis=0).tobytes()
+        assert xxh32(rt) == xxh32(data), "round-trip mismatch"
 
     # size parity vs the reference encoder on the SAME corpus, and
     # device decode of REFERENCE-produced streams (same compiled decode
@@ -276,12 +291,17 @@ def main() -> None:
         from lz4_tpu.block.backend import HostBackend
         hblocks = [data[i: i + bs] for i in range(0, n, bs)]
         hb = HostBackend(nb_workers=0)
-        t0 = time.perf_counter()
-        hcomp = hb.compress_batch(hblocks, level=1)
-        host_mbs = round((n / 1e6) / (time.perf_counter() - t0), 1)
-        t0 = time.perf_counter()
-        hout = hb.decompress_batch(hcomp, [bs] * len(hcomp))
-        host_dec_mbs = round((n / 1e6) / (time.perf_counter() - t0), 1)
+        # best-of-2: the first pass pays cold page/cache faults
+        host_mbs = host_dec_mbs = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            hcomp = hb.compress_batch(hblocks, level=1)
+            host_mbs = max(host_mbs, round(
+                (n / 1e6) / (time.perf_counter() - t0), 1))
+            t0 = time.perf_counter()
+            hout = hb.decompress_batch(hcomp, [bs] * len(hcomp))
+            host_dec_mbs = max(host_dec_mbs, round(
+                (n / 1e6) / (time.perf_counter() - t0), 1))
         assert b"".join(hout) == data
         _log(f"host C tier: encode {host_mbs} MB/s, "
              f"decode {host_dec_mbs} MB/s")
