@@ -72,7 +72,8 @@ PAD = LANES          # front pad row on both VMEM buffers (aligned windows)
 def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
                    out_ref, olen_ref, err_ref, *, cap_out: int,
                    r_in: int, r_out: int, d0: int = 0, K: int = 1,
-                   mode: str = "full", loose: bool = False):
+                   U: int = 1, mode: str = "full",
+                   loose: bool = False):
     """K blocks per grid step, one fused while_loop. words_ref:
     (K, 1, W) int32 SMEM — the compressed bytes packed 4/word
     little-endian (scalar parse side); comp_ref: (K, r_in, 128) int32
@@ -220,7 +221,7 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
         p, o, err, done = st
         M = Ms[k]
         low = lows[k]
-        if K == 1:
+        if K == 1 and U == 1:
             # the loop cond already guarantees liveness — no guard ops
             active = jnp.bool_(True)
         else:
@@ -351,7 +352,7 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
         o_next = jnp.where(do_match, o_mid + mlen,
                            jnp.where(serr, o, o_mid))
         done_next = done | is_last | serr
-        if K == 1:
+        if K == 1 and U == 1:
             return next_p, o_next, serr, done_next
         # freeze finished/errored blocks
         return (jnp.where(active, next_p, p),
@@ -360,7 +361,12 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
                 jnp.where(active, done_next, done))
 
     def seq_body(sts):
-        return tuple(sub_body(k, sts[k]) for k in range(K))
+        # U > 1: each loop iteration advances every block by U
+        # sequences (guarded) — amortizes loop overhead and gives the
+        # VLIW scheduler two sequences' worth of work to pack
+        for _ in range(U):
+            sts = tuple(sub_body(k, sts[k]) for k in range(K))
+        return sts
 
     def seq_cond(sts):
         go = jnp.bool_(False)
@@ -380,10 +386,11 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("cap_out", "interpret",
-                                             "mode", "d0", "K", "loose"))
+                                             "mode", "d0", "K", "U",
+                                             "loose"))
 def _decode_pallas_raw(comp32, comp_lens, dict32, dlens, *, cap_out: int,
                        interpret: bool, mode: str = "full", d0: int = 0,
-                       K: int = 1, loose: bool = False):
+                       K: int = 1, U: int = 1, loose: bool = False):
     B, r_in, _ = comp32.shape
     assert B % K == 0
     # rows: PAD + dict + data + window spill (window2 reads 3 rows)
@@ -398,7 +405,7 @@ def _decode_pallas_raw(comp32, comp_lens, dict32, dlens, *, cap_out: int,
     words = (b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16)
              | (b4[..., 3] << 24))
     kern = functools.partial(_decode_kernel, cap_out=cap_out,
-                             r_in=r_in, r_out=r_out, d0=d0, K=K,
+                             r_in=r_in, r_out=r_out, d0=d0, K=K, U=U,
                              mode=mode, loose=loose)
     out, olen, errs = pl.pallas_call(
         kern,
@@ -445,7 +452,7 @@ def default_interleave() -> int:
 def decode_blocks_pallas(comp, comp_lens, dict_bufs=None, dict_lens=None,
                          *, cap_out: int, interpret: bool | None = None,
                          mode: str = "full", K: int | None = None,
-                         loose: bool = False):
+                         U: int | None = None, loose: bool = False):
     """Batched block decode on the serial-kernel path.
 
     Same contract as decode_jax.decode_blocks:
@@ -489,9 +496,12 @@ def decode_blocks_pallas(comp, comp_lens, dict_bufs=None, dict_lens=None,
     else:
         dict32 = jnp.zeros((Bp, 1, LANES), jnp.int32)
         dlens = jnp.zeros((Bp,), jnp.int32)
+    if U is None:
+        import os
+        U = max(1, int(os.environ.get("LZ4_TPU_DECODE_U", "1")))
     out, olen, errs = _decode_pallas_raw(
         comp32, comp_lens, dict32, dlens, cap_out=cap_out,
-        interpret=bool(interpret), mode=mode, d0=d0, K=K,
+        interpret=bool(interpret), mode=mode, d0=d0, K=K, U=U,
         loose=loose)
     if Bp != B:
         out, olen, errs = out[:B], olen[:B], errs[:B]
