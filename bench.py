@@ -283,6 +283,32 @@ def main() -> None:
     except Exception as e:            # oracle is best-effort
         _log(f"reference comparison skipped: {e}")
 
+    # big-block device decode (the CLI-default -B7 path: C splitter +
+    # linked 64 KB piece waves on device) on a 16 MB slice
+    big_dec_mbs = None
+    try:
+        if jax.devices()[0].platform == "tpu":
+            from lz4_tpu.block.backend import HostBackend
+            from lz4_tpu.parallel.engine import TpuBackend
+            BB = 4 * 1024 * 1024
+            nb_big = min(4, n // BB)
+            if nb_big >= 1:
+                bblocks = [data[i * BB:(i + 1) * BB]
+                           for i in range(nb_big)]
+                bcomp = HostBackend(nb_workers=0).compress_batch(
+                    bblocks, level=1)
+                tb = TpuBackend()
+                outs = tb.decompress_batch(bcomp, [BB] * nb_big)
+                assert all(o == b for o, b in zip(outs, bblocks))
+                t0 = time.perf_counter()
+                tb.decompress_batch(bcomp, [BB] * nb_big)
+                big_dec_mbs = round(
+                    nb_big * BB / 1e6 / (time.perf_counter() - t0), 1)
+                _log(f"device -B7 decode (splitter + piece waves): "
+                     f"{big_dec_mbs} MB/s")
+    except Exception as e:
+        _log(f"big-block decode stage skipped: {e}")
+
     # host-native tier on the same corpus (the CLI's host-backend path;
     # C via ctypes, GIL released) — recorded alongside the device
     # headline for the full-framework picture
@@ -319,6 +345,7 @@ def main() -> None:
             "ratio": round(ratio, 3),
             "size_vs_ref": size_vs_ref,
             "decode_ref_streams_MBs": ref_dec_mbs,
+            "bigblock_decode_MBs": big_dec_mbs,
             "host_compress_MBs": host_mbs,
             "host_decompress_MBs": host_dec_mbs,
             "corpus": corpus_kind,
