@@ -46,7 +46,7 @@ except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
 LANES = 128
-HASH_LOG = 15
+HASH_LOG = 16
 HASH_MUL = np.int32(np.uint32(2654435761))   # Knuth multiplier (format const)
 SKIP_TRIGGER = 6
 
