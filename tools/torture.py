@@ -29,6 +29,10 @@ def main() -> int:
                     help="force the JAX device codec onto CPU")
     ap.add_argument("--no-device", action="store_true",
                     help="skip the JAX codec (C/oracle only, much faster)")
+    ap.add_argument("--pallas", action="store_true",
+                    help="route the device codec through the Pallas "
+                         "serial kernels (the production single-chip "
+                         "fast tier) instead of the sort/scan graphs")
     args = ap.parse_args()
 
     if args.cpu:
@@ -48,6 +52,56 @@ def main() -> int:
     if not args.no_device:
         from lz4_tpu.block.decode_jax import decode_blocks_host
         from lz4_tpu.block.encode_jax import encode_blocks_host
+    if args.pallas:
+        import numpy as _np
+        import jax as _jax
+        import jax.numpy as _jnp
+        from lz4_tpu.block.decode_pallas import decode_blocks_pallas
+        from lz4_tpu.block.encode_pallas import encode_blocks_pallas
+        from lz4_tpu.constants import compress_bound as _cb
+
+        _interp = _jax.devices()[0].platform == "cpu"
+
+        def _pad1(b, cap):
+            a = _np.zeros((1, cap), _np.uint8)
+            a[0, : len(b)] = _np.frombuffer(bytes(b), _np.uint8)
+            return _jnp.asarray(a), _jnp.asarray([len(b)], _np.int32)
+
+        def _dict1(d):
+            if not d:
+                return None, None
+            d = bytes(d)[-65536:]
+            a = _np.zeros((1, 65536), _np.uint8)
+            a[0, 65536 - len(d):] = _np.frombuffer(d, _np.uint8)
+            return _jnp.asarray(a), _jnp.asarray([len(d)], _np.int32)
+
+        def encode_blocks_host(blocks, dict_prefixes=None, lite=False,
+                               n_cand=1, lazy=False):
+            # one fixed 64 KB-tier shape keeps the compiled set tiny
+            raw = blocks[0]
+            src, lens = _pad1(raw, 65536)
+            db, dl = _dict1(dict_prefixes[0] if dict_prefixes else None)
+            o, cs, _ = encode_blocks_pallas(
+                src, lens, db, dl, cap_n=65536,
+                acceleration=8 if lite else 1, interpret=_interp)
+            return [_np.asarray(o)[0, : int(_np.asarray(cs)[0])]
+                    .tobytes()]
+
+        def decode_blocks_host(blocks, caps, dict_prefixes=None):
+            comp = blocks[0]
+            tier = 65536
+            while tier < caps[0]:
+                tier *= 4
+            cj, lj = _pad1(comp, max(_cb(tier), len(comp)))
+            db, dl = _dict1(dict_prefixes[0] if dict_prefixes else None)
+            o, ol, er = decode_blocks_pallas(
+                cj, lj, db, dl, cap_out=tier, interpret=_interp)
+            if int(_np.asarray(er)[0]):
+                raise BlockDecodeError("pallas decoder rejected stream")
+            out = _np.asarray(o)[0, : int(_np.asarray(ol)[0])].tobytes()
+            if len(out) > caps[0]:
+                raise BlockDecodeError("over cap")
+            return [out]
 
     seed0 = args.seed if args.seed is not None else random.randrange(1 << 30)
     rng = random.Random(seed0)
