@@ -108,6 +108,11 @@ def main(argv: list[str] | None = None) -> int:
     level_env = os.environ.get("LZ4_CLEVEL")
     if level_env and level_env.isdigit():
         prefs.level = int(level_env)
+    # the reference CLI defaults compression to multithread with
+    # cores-1-cores/8 workers (lz4io.c:177-187, NEWS v1.10 "multithreading
+    # by default"); -T# / LZ4_NBWORKERS override, -T1 forces single
+    from lz4_tpu.block.backend import default_nb_workers
+    prefs.nb_workers = default_nb_workers()
     nbw_env = os.environ.get("LZ4_NBWORKERS")
     if nbw_env and nbw_env.isdigit():
         prefs.nb_workers = int(nbw_env)
@@ -250,7 +255,10 @@ def main(argv: list[str] | None = None) -> int:
                 while j < len(a) and a[j].isdigit():
                     num += a[j]
                     j += 1
-                prefs.nb_workers = int(num) if num else 0
+                # -T0 = auto (reference semantics)
+                from lz4_tpu.block.backend import default_nb_workers
+                prefs.nb_workers = (int(num) if num and int(num) > 0
+                                    else default_nb_workers())
             elif c == "b":
                 mode = "bench"
                 num = ""

@@ -4,18 +4,27 @@ dry-runs the multichip path; benches run on the real chip)."""
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# LZ4_TPU_TEST_REAL=1 runs the suite against the real device instead of
+# the virtual CPU mesh (used for on-chip validation passes; the normal
+# CI run stays on the forced-CPU 8-device mesh).
+_REAL = bool(os.environ.get("LZ4_TPU_TEST_REAL"))
+if not _REAL:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 # jax may already be imported (sitecustomize); env vars alone are then
 # ignored — force the platform through the config API before any backend
 # is instantiated.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _REAL:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
