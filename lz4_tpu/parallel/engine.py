@@ -260,16 +260,27 @@ MAX_PIECES = 72         # 4 MB / 64 KB plus split slack
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _decode_pieces_scan(pieces, plens, hist0, hlen0, *, interpret: bool):
-    """pieces uint8[B, MAX_PIECES, PIECE_CAP], plens int32[B, MP],
-    hist0 uint8[B, 64K] right-aligned, hlen0 int32[B] ->
-    (outs uint8[MP, B, 64K], olens int32[MP, B], errs int32[MP, B])."""
+def _decode_pieces_scan(packed, poffs, plens, hist0, hlen0, *,
+                        interpret: bool):
+    """packed uint8[B, T] — every block's piece streams concatenated
+    tightly (T includes >= PIECE_CAP of end slack), poffs/plens
+    int32[B, MAX_PIECES] per-piece start offsets / lengths, hist0
+    uint8[B, 64K] right-aligned, hlen0 int32[B] ->
+    (outs uint8[MP, B, 64K], olens int32[MP, B], errs int32[MP, B]).
+    Tight packing matters: the padded (B, MP, PIECE_CAP) arena was
+    ~2.7x the real bytes, and relay uploads were the dominant cost of
+    the -B7 device decode path."""
     from lz4_tpu.block.decode_pallas import decode_blocks_pallas
     DC = 65536
 
     def step(carry, xs):
         hist, hlen = carry
-        comp_k, len_k = xs
+        off_k, len_k = xs
+
+        def cut(row, off):
+            return jax.lax.dynamic_slice(row, (off,), (PIECE_CAP,))
+
+        comp_k = jax.vmap(cut)(packed, off_k)
         out, olen, err = decode_blocks_pallas(
             comp_k, len_k, hist, hlen, cap_out=DC,
             interpret=interpret, loose=True)
@@ -285,7 +296,7 @@ def _decode_pieces_scan(pieces, plens, hist0, hlen0, *, interpret: bool):
         nhl = jnp.minimum(hlen + olen, DC)
         return (nh, nhl), (out, olen, err)
 
-    xs = (jnp.moveaxis(pieces, 1, 0), jnp.moveaxis(plens, 1, 0))
+    xs = (jnp.moveaxis(poffs, 1, 0), jnp.moveaxis(plens, 1, 0))
     _, (outs, olens, errs) = jax.lax.scan(step, (hist0, hlen0), xs)
     return outs, olens, errs
 
@@ -599,9 +610,10 @@ class TpuBackend:
         B = len(blocks)
         UNIT = 4
         Bp = -(-B // UNIT) * UNIT
-        pieces = np.zeros((Bp, MAX_PIECES, PIECE_CAP), np.uint8)
         plens = np.zeros((Bp, MAX_PIECES), np.int32)
+        poffs = np.zeros((Bp, MAX_PIECES), np.int32)
         pouts = np.zeros((Bp, MAX_PIECES), np.int64)
+        rows = []
         for i, blk in enumerate(blocks):
             r = bc.split_stream(blk, piece_cap=PIECE_CAP,
                                 max_pieces=MAX_PIECES, out_limit=65536)
@@ -610,9 +622,18 @@ class TpuBackend:
                     blocks, max_outs, dict_prefixes=dict_prefixes)
             arena, pl_, po_ = r
             k = len(pl_)
-            pieces[i, :k] = arena
             plens[i, :k] = pl_
+            poffs[i, 1:k] = np.cumsum(pl_[: k - 1])
             pouts[i, :k] = po_
+            rows.append(b"".join(
+                arena[j, : pl_[j]].tobytes() for j in range(k)))
+        # tight pack: pad the row dimension to 512 KB steps (bounded
+        # compiled-shape set) plus one PIECE_CAP of slice slack
+        tmax = max((len(r) for r in rows), default=1)
+        T = -(-tmax // (512 * 1024)) * (512 * 1024) + PIECE_CAP
+        packed = np.zeros((Bp, T), np.uint8)
+        for i, rbytes in enumerate(rows):
+            packed[i, : len(rbytes)] = np.frombuffer(rbytes, np.uint8)
         hist = np.zeros((Bp, 65536), np.uint8)
         hlen = np.zeros(Bp, np.int32)
         if dict_prefixes is not None:
@@ -623,7 +644,8 @@ class TpuBackend:
                     hlen[i] = len(d)
         interp = jax.devices()[0].platform == "cpu"
         outs, olens, errs = _decode_pieces_scan(
-            jnp.asarray(pieces), jnp.asarray(plens), jnp.asarray(hist),
+            jnp.asarray(packed), jnp.asarray(poffs),
+            jnp.asarray(plens), jnp.asarray(hist),
             jnp.asarray(hlen), interpret=interp)
         outs = np.asarray(outs)
         olens = np.asarray(olens)
