@@ -226,6 +226,10 @@ def _decode_kernel(len_ref, dlen_ref, words_ref, comp_ref, dict_ref,
             active = jnp.bool_(True)
         else:
             active = (p < M) & ~err & ~done
+            # frozen blocks re-execute with a carried p that a
+            # malformed 255-chain can have made enormous: clamp the
+            # parse reads (results are discarded via the freeze)
+            p = jnp.where(active, p, jnp.minimum(p, M))
         # ---- scalar parse (lz4.c:2279-2335), select-based ------------
         # chains of <= 2 extension bytes resolve branch-free from bytes
         # already in w0/w1; ONE merged lax.cond escape covers the freak
@@ -446,7 +450,7 @@ def default_interleave() -> int:
     try:
         return max(1, int(os.environ.get("LZ4_TPU_DECODE_K", "1")))
     except ValueError:  # pragma: no cover
-        return 8
+        return 1
 
 
 def decode_blocks_pallas(comp, comp_lens, dict_bufs=None, dict_lens=None,

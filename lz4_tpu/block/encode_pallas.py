@@ -211,6 +211,12 @@ def _encode_kernel(len_ref, dlen_ref, accel_ref, src_ref, out_ref,
             sp, ssr, _hit, _cand = s
             step = jax.lax.shift_right_logical(ssr, SKIP_TRIGGER)
             sp1 = sp + step
+            # clamp the speculative position's MEMORY ops: with runtime
+            # acceleration up to 65537 the step can overshoot the
+            # source pad (matchlimit keeps read4 in-buffer; inserting
+            # the clamped real position repeatedly is a no-op via the
+            # insert same-guard)
+            sp1c = jnp.minimum(sp1, matchlimit)
             seq0 = read4(sp)
             h0 = hash4(seq0)
             e0 = table[h0]
@@ -219,12 +225,12 @@ def _encode_kernel(len_ref, dlen_ref, accel_ref, src_ref, out_ref,
             hit0 = ((jax.lax.shift_right_logical(e0, 26) == bt)
                     & (cand0 < sp) & (cand0 >= low)
                     & (sp - cand0 <= 65535) & (read4(cand0) == seq0))
-            seq1 = read4(sp1)
+            seq1 = read4(sp1c)
             h1 = hash4(seq1)
             e1 = table[h1]
             # on hit0 the single-step reference loop never visited p1:
             # keep the entry unchanged via select-store
-            table[h1] = jnp.where(hit0, e1, (bt << 26) | sp1)
+            table[h1] = jnp.where(hit0, e1, (bt << 26) | sp1c)
             cand1 = e1 & 0x3FFFF
             hit1 = (~hit0 & (sp1 <= mflimit)
                     & (jax.lax.shift_right_logical(e1, 26) == bt)

@@ -112,8 +112,8 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.lz4t_split_stream.restype = ctypes.c_long
     lib.lz4t_split_stream.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
-        ctypes.c_long, ctypes.c_long, ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32)]
+        ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
 
 
 class _XXH:
@@ -248,7 +248,8 @@ class _BlockCodec:
         return dst.raw[:n], consumed.value
 
     def split_stream(self, comp: bytes, *, piece_cap: int = 66816,
-                     max_pieces: int = 72, out_limit: int = 65536):
+                     max_pieces: int = 72, out_limit: int = 65536,
+                     out_cap: int | None = None):
         """Split one LZ4 sequence stream into linked <= out_limit
         pieces for the device big-block decode path (see
         lz4t_split_stream in blockcodec.c). Returns (pieces_arena
@@ -260,9 +261,11 @@ class _BlockCodec:
         arena = np.zeros((max_pieces, piece_cap), np.uint8)
         plens = np.zeros(max_pieces, np.int32)
         pouts = np.zeros(max_pieces, np.int32)
+        if out_cap is None:
+            out_cap = max_pieces * out_limit
         r = self._lib.lz4t_split_stream(
             comp, len(comp), arena.ctypes.data_as(ctypes.c_void_p),
-            piece_cap, max_pieces, out_limit,
+            piece_cap, max_pieces, out_limit, out_cap,
             plens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             pouts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         if r < 0:

@@ -624,14 +624,17 @@ static uint8_t *lz4t__wr_lits(uint8_t *op, const uint8_t *lp, long L,
 
 long lz4t_split_stream(const uint8_t *src, long n, uint8_t *dst,
                        long piece_cap, long max_pieces, long out_limit,
-                       int32_t *piece_lens, int32_t *piece_outs) {
+                       long out_cap, int32_t *piece_lens,
+                       int32_t *piece_outs) {
     const uint8_t *ip = src, *iend = src + n;
     long pi = 0;
     uint8_t *pstart = dst, *op = dst;
     long opos = 0;
+    long og = 0;              /* whole-block output position */
     int tail_is_lits = 0;     /* current piece already ends in literals */
 
     if (max_pieces < 1 || out_limit < 16) return -2;
+    if (n <= 0) return -1;    /* empty streams are invalid LZ4 */
 
 #define LZ4T_CLOSE_PIECE() do {                                        \
         if (!tail_is_lits) *op++ = 0x00;                               \
@@ -662,7 +665,14 @@ long lz4t_split_stream(const uint8_t *src, long n, uint8_t *dst,
         if (ip >= iend) {           /* final literal-only sequence */
             ML = 0; off = 0;
         } else {
-            if (iend - ip < 2) return -1;
+            /* whole-block parsing restrictions (lz4.c:2279-2318): the
+             * pieces decode in loose mode, so the splitter must hold
+             * the strict contract the per-tier decoders enforce —
+             * non-final literals end >= 2+1+LASTLITERALS before the
+             * input end, matches start >= MFLIMIT and end >=
+             * LASTLITERALS before the output cap */
+            if (iend - ip < 2 + 1 + 5) return -1;
+            if (og + L > out_cap - 12) return -1;
             off = ip[0] | ((long)ip[1] << 8);
             ip += 2;
             if (off == 0) return -1;
@@ -676,7 +686,10 @@ long lz4t_split_stream(const uint8_t *src, long n, uint8_t *dst,
                 } while (b == 255);
             }
             ML += 4;
+            if (og + L + ML > out_cap - 5) return -1;
         }
+        if (og + L > out_cap) return -1;
+        og += L + ML;
 
         /* literal chunks that do not fit become literal tails */
         lrem = L;

@@ -616,7 +616,8 @@ class TpuBackend:
         rows = []
         for i, blk in enumerate(blocks):
             r = bc.split_stream(blk, piece_cap=PIECE_CAP,
-                                max_pieces=MAX_PIECES, out_limit=65536)
+                                max_pieces=MAX_PIECES, out_limit=65536,
+                                out_cap=max_outs[i])
             if r is None:
                 return self._host().decompress_batch(
                     blocks, max_outs, dict_prefixes=dict_prefixes)
@@ -679,8 +680,10 @@ class TpuBackend:
                 or mo > self.max_device_decode_size:
             return self._host().decompress_batch(
                 blocks, max_outs, dict_prefixes=dict_prefixes)
-        if mo > (1 << 20):
-            # above the Pallas VMEM tier: linked piece waves (-B7)
+        if mo > (1 << 18):
+            # above the 256 KB tier the packed-words SMEM copy would
+            # overflow SMEM (1 MB, double-buffered by the pipeline):
+            # -B6/-B7 decode as linked 64 KB piece waves instead
             if self.pallas_decode and self._pallas_platform_ok():
                 return self._decompress_big_batch(
                     blocks, max_outs, dict_prefixes)
@@ -730,9 +733,10 @@ class TpuBackend:
                 [dict_lens, np.zeros(B - dict_lens.shape[0], np.int32)])
         # serial-kernel route: TPU decode via the Pallas wildcopy
         # kernel (scalar parse + vector copies; dict/linked history
-        # rides as a VMEM prefix) — VMEM-bounded to the <= 1 MB tiers;
-        # on a mesh, shard_map runs the same kernel per device shard
-        use_pallas = (self.pallas_decode and cap_out <= (1 << 20)
+        # rides as a VMEM prefix) — SMEM-bounded to the <= 256 KB
+        # tiers (the packed parse words double-buffer in SMEM); on a
+        # mesh, shard_map runs the same kernel per device shard
+        use_pallas = (self.pallas_decode and cap_out <= (1 << 18)
                       and self._pallas_platform_ok())
         if use_pallas:
             from lz4_tpu.block.decode_pallas import decode_blocks_pallas

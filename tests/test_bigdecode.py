@@ -105,12 +105,19 @@ def test_splitter_hc_streams():
 
 def test_splitter_rejects_malformed():
     bc = native.blockcodec
-    comp = bytearray(bc.compress(gen_text(100_000, seed=5)))
-    comp = comp[: len(comp) // 2]          # truncated
-    assert bc.split_stream(bytes(comp)) is None or True  # may split;
-    # strict decode of the pieces (or the fallback) must reject — the
-    # engine path covers this; here only assert no crash
-    bc.split_stream(b"")
+    # offset 0 is spec-invalid (doc/lz4_Block_format.md: 0 is forbidden)
+    bad_off = bytes([0x11, 0x41, 0x00, 0x00]) + b"A" * 40
+    assert bc.split_stream(bad_off) is None
+    # literal run overrunning the stream
+    assert bc.split_stream(bytes([0xF0, 0x41])) is None
+    # empty stream
+    assert bc.split_stream(b"") is None
+    # whole-block end rules: a match ending too close to the output
+    # cap must be rejected (the strict per-tier decoders reject it,
+    # and pieces decode loose — the splitter holds the contract)
+    ok = bc.compress(gen_text(100_000, seed=5))
+    assert bc.split_stream(ok, out_cap=100_000) is not None
+    assert bc.split_stream(ok, out_cap=99_990) is None
 
 
 def test_piece_scan_interpret_roundtrip(monkeypatch):

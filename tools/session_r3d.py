@@ -1,5 +1,11 @@
 """Round-3 decode kernel probes: cost split + dimension semantics.
 
+HISTORICAL: the `par` stage wraps dp._decode_kernel with the PRE-v7
+buffer conventions (no PAD row, words unstripped) and no longer
+matches the shipped kernel ABI — its numbers are for the r2-era
+kernel only. Use /tmp-style amortized probes (session_r3e.py) for
+current measurements.
+
 Stages (all on the real corpus, 32 x 64KB blocks, host-C-encoded
 streams so the token mix is realistic):
   base    : decode_blocks_pallas full (the shipped r2 kernel)
