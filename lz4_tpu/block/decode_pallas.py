@@ -39,10 +39,12 @@ match copy ~70 ns → ~54 MB/s single-core. Design:
     offset are one straight window + wfront;
   * long copies (> 128 bytes) walk full rows, straight or periodic,
     selected once per copy (not per row);
-  * K blocks per grid step (static, default 1): measured flat-to-
-    negative, kept as a knob; `loose` drops the two end-of-block
-    MFLIMIT checks for the big-block splitter's linked pieces
-    (native/blockcodec.c lz4t_split_stream).
+  * K blocks per grid step and U sequences per iteration (static,
+    default 1): measured flat, kept as knobs; `loose` drops the two
+    end-of-block MFLIMIT checks for the big-block splitter's linked
+    pieces (native/blockcodec.c lz4t_split_stream — the splitter
+    itself enforces them block-wide). The packed-words SMEM copy
+    double-buffers, bounding the direct tier at 256 KB.
 
 Error semantics mirror decode_jax._parse_tokens / _decode_one bit for
 bit (the sound-subset contract): any malformed stream sets err and the
