@@ -298,6 +298,10 @@ def main() -> None:
                 bcomp = HostBackend(nb_workers=0).compress_batch(
                     bblocks, level=1)
                 tb = TpuBackend()
+                # this stage measures the device piece-wave path
+                # itself; the engine's default now routes
+                # host-materializing big decodes to the host tier
+                tb.decode_dest = "device"
                 outs = tb.decompress_batch(bcomp, [BB] * nb_big)
                 assert all(o == b for o, b in zip(outs, bblocks))
                 t0 = time.perf_counter()

@@ -1,11 +1,12 @@
 """lz4-compatible command-line interface — the L5 layer.
 
 Flag-grammar parity with programs/lz4cli.c:447-708: -1..-12, --fast[=#],
--d/-z/-t/-b/-l, -c/-f/-q/-v, -m/-r, -B4..7/-BD/-BX, -D dict,
---content-size, --no-frame-crc, --sparse/--no-sparse, --rm, --list,
--T#/--threads, env vars LZ4_CLEVEL / LZ4_NBWORKERS (lz4cli.c:363-391),
-argv[0] aliases lz4cat / unlz4 (lz4cli.c:433-444), console-safety
-refusals (lz4cli.c:771-828).
+-d/-z/-t/-b/-l, -c/-f/-q/-v, -m/-r, -B4..7 / -B#bytes (exact custom
+block sizes, lz4io.c:286-300) / -BD/-BI/-BX, -D dict, --content-size,
+--no-frame-crc, --sparse/--no-sparse, --rm, --list, -T#/--threads, env
+vars LZ4_CLEVEL / LZ4_NBWORKERS (lz4cli.c:363-391), argv[0] aliases
+lz4cat / unlz4 / lz4c legacy commands (lz4cli.c:433-444, 523-530),
+console-safety refusals (lz4cli.c:771-828).
 
 The heavy lifting lives in lz4_tpu.io.engine (L4) and the block
 backends; `--backend tpu|host` selects the device engine explicitly
@@ -44,8 +45,9 @@ Arguments:
  -c        force write to stdout
  -m        multiple input files (implies -c off)
  -r        recurse directories (implies -m)
- -B#       block size [4-7] (default 4 = 64KB) or bytes (>=32)
+ -B#       block size [4-7] (default 7 = 4MB) or exact bytes (32..4MB)
  -BD       dependent/linked blocks
+ -BI       independent blocks (default; cancels -BD)
  -BX       enable block checksums
  --no-frame-crc    disable content checksum
  --content-size    store uncompressed size in frame header
@@ -124,10 +126,20 @@ def main(argv: list[str] | None = None) -> int:
     files: list[str] = []
 
     # argv[0] aliases (lz4cli.c:433-444)
-    if prog in ("lz4cat", "unlz4"):
+    lz4c_legacy = False
+    if prog == "lz4cat":
         mode = "decompress"
         force_stdout = True
         prefs.overwrite = True
+        prefs.pass_through = True
+        prefs.remove_src_file = False
+        prefs.verbosity = 1
+        multiple = True
+    elif prog == "unlz4":
+        mode = "decompress"
+    elif prog == "lz4c":
+        # legacy command set enabled (-c0/-c1/-c2/-hc/-y)
+        lz4c_legacy = True
 
     i = 0
     while i < len(args):
@@ -138,6 +150,17 @@ def main(argv: list[str] | None = None) -> int:
             break
         if not a.startswith("-") or a == "-":
             files.append(a)
+            continue
+        if lz4c_legacy and a in ("-c0", "-c1", "-c2", "-hc", "-y"):
+            # lz4c legacy commands (lz4cli.c:523-530)
+            if a == "-c0":
+                prefs.level = 1
+            elif a == "-c1":
+                prefs.level = 9
+            elif a in ("-c2", "-hc"):
+                prefs.level = 12
+            else:
+                prefs.overwrite = True
             continue
         if a.startswith("--"):
             opt = a[2:]
@@ -284,33 +307,44 @@ def main(argv: list[str] | None = None) -> int:
                     raise CliError("-i needs a number of seconds")
                 prefs.bench_seconds = float(num)
             elif c == "B":
-                if j < len(a) and a[j] == "D":
-                    prefs.block_independence = False
-                    j += 1
-                elif j < len(a) and a[j] == "X":
-                    prefs.block_checksum = True
-                    j += 1
-                else:
-                    num = ""
-                    while j < len(a) and a[j].isdigit():
-                        num += a[j]
+                # block-property loop: -B accepts chained D/I/X/size
+                # properties (lz4cli.c:612-649, e.g. -B4D)
+                got = False
+                while j < len(a):
+                    if a[j] == "D":
+                        prefs.block_independence = False
                         j += 1
-                    if not num:
-                        raise CliError("-B needs an argument")
-                    v = int(num)
-                    if 4 <= v <= 7:
-                        prefs.block_size_id = v
-                    elif v >= 32:
-                        # custom byte size rounds down to a standard id
-                        for bsid in (7, 6, 5, 4):
-                            from lz4_tpu.constants import BLOCK_SIZES
-                            if v >= BLOCK_SIZES[bsid]:
-                                prefs.block_size_id = bsid
-                                break
+                    elif a[j] == "I":
+                        prefs.block_independence = True
+                        j += 1
+                    elif a[j] == "X":
+                        prefs.block_checksum = True
+                        j += 1
+                    elif a[j].isdigit():
+                        num = ""
+                        while j < len(a) and a[j].isdigit():
+                            num += a[j]
+                            j += 1
+                        v = int(num)
+                        if v < 4 or (7 < v < 32):
+                            raise CliError(f"invalid block size {v}")
+                        if v <= 7:
+                            prefs.block_size_id = v
+                            prefs.block_custom_size = None
                         else:
-                            prefs.block_size_id = 4
+                            # exact custom byte size, clamped to the
+                            # 4 MB format ceiling (lz4io.c:286-300);
+                            # the frame advertises the covering tier
+                            from lz4_tpu.constants import (
+                                BLOCK_SIZES, optimal_block_size_id)
+                            v = min(v, BLOCK_SIZES[7])
+                            prefs.block_custom_size = v
+                            prefs.block_size_id = optimal_block_size_id(v)
                     else:
-                        raise CliError(f"invalid block size {v}")
+                        break
+                    got = True
+                if not got:
+                    raise CliError("-B needs an argument")
             else:
                 raise CliError(f"unknown option -{c}")
     return _dispatch(mode, prefs, files, multiple, recursive,

@@ -49,11 +49,19 @@ class FrameInfo:
 
 @dataclass
 class Preferences:
-    """LZ4F_preferences_t analog (lz4frame.h:192-198)."""
+    """LZ4F_preferences_t analog (lz4frame.h:192-198).
+
+    `block_size` is the exact data-block cut size in bytes (the
+    LZ4IO_prefs_t.blockSize analog, lz4io.c:286-300): the frame header
+    still advertises the covering standard tier in BD, but blocks carry
+    at most `block_size` input bytes — the CLI's -B#bytes contract
+    (lz4cli.c:556-577, tests/test_custom_block_sizes.sh). None = cut at
+    the tier max."""
     frame_info: FrameInfo = field(default_factory=FrameInfo)
     compression_level: int = 0
     auto_flush: bool = False
     favor_dec_speed: bool = False
+    block_size: int | None = None
 
 
 def get_block_size(block_size_id: int) -> int:

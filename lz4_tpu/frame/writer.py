@@ -44,6 +44,8 @@ def compress_frame_bound(src_size: int, prefs: Preferences | None = None) -> int
     """Worst-case frame size (LZ4F_compressFrameBound analog)."""
     prefs = prefs or Preferences()
     bs = prefs.frame_info.block_max_size
+    if prefs.block_size:
+        bs = min(bs, max(32, prefs.block_size))
     nblocks = max(1, -(-src_size // bs))
     per_block = 4 + (4 if prefs.frame_info.block_checksum else 0)
     from lz4_tpu.constants import compress_bound
@@ -76,12 +78,15 @@ def compress_frame(
         info.content_size = len(data)
     if cdict is not None and cdict.dict_id is not None:
         info.dict_id = cdict.dict_id
+    bs = info.block_max_size
+    if prefs.block_size:
+        # exact custom block size (-B#bytes): blocks carry at most this
+        # many input bytes under the covering standard tier
+        bs = min(bs, max(32, prefs.block_size))
     # single-block frame: shrink block size, independent (lz4frame.c:428-524)
-    if len(data) <= info.block_max_size:
+    if len(data) <= bs:
         info.block_size_id = optimal_block_size_id(len(data))
         info.block_independent = True
-
-    bs = info.block_max_size
     blocks = [data[i: i + bs] for i in range(0, len(data), bs)] or [b""]
 
     dict_prefixes: list[bytes | None] = []
@@ -165,7 +170,7 @@ class FrameCompressor:
         self._xxh.update(data)
         self._total += len(data)
         self._buf += data
-        bs = self._info.block_max_size
+        bs = self._cut_size()
         out = bytearray()
         # batch all complete blocks in one backend call
         blocks, prefixes = [], []
@@ -185,6 +190,14 @@ class FrameCompressor:
         if self.prefs.auto_flush:
             out += self.flush()
         return bytes(out)
+
+    def _cut_size(self) -> int:
+        """Data bytes per block: the exact -B#bytes size when set,
+        else the frame tier max (lz4io.c:286-300 analog)."""
+        bs = self._info.block_max_size
+        if self.prefs.block_size:
+            bs = min(bs, max(32, self.prefs.block_size))
+        return bs
 
     def _current_prefix(self) -> bytes | None:
         if self._info.block_independent:
@@ -208,7 +221,7 @@ class FrameCompressor:
         out = bytearray(self.flush())
         self._xxh.update(data)
         self._total += len(data)
-        bs = self._info.block_max_size
+        bs = self._cut_size()
         for i in range(0, len(data), bs):
             raw = data[i: i + bs]
             hdr = struct.pack("<I", len(raw) | BLOCK_UNCOMPRESSED_FLAG)

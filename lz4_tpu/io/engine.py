@@ -59,6 +59,10 @@ class IoPrefs:
     # independent blocks a multi-MB file compresses ~10% worse than the
     # reference CLI's defaults
     block_size_id: int = 7
+    # exact -B#bytes block size (lz4io.c:286-300): blocks carry at most
+    # this many input bytes; the frame header advertises the covering
+    # standard tier. None = cut at the tier max.
+    block_custom_size: int | None = None
     block_checksum: bool = False
     stream_checksum: bool = True
     block_independence: bool = True
@@ -197,7 +201,8 @@ def compress_file(src_path: str, dst_path: str | None,
                 except OSError:
                     pass
             fprefs = Preferences(frame_info=info,
-                                 favor_dec_speed=prefs.favor_dec_speed)
+                                 favor_dec_speed=prefs.favor_dec_speed,
+                                 block_size=prefs.block_custom_size)
             comp = FrameCompressor(fprefs, level=prefs.level,
                                    acceleration=prefs.acceleration,
                                    cdict=cdict, backend=backend)

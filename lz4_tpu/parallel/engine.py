@@ -351,6 +351,14 @@ class TpuBackend:
         # on-chip with second-scale compiles (tools/session_pallas_decode)
         self.pallas_decode = bool(int(os.environ.get(
             "LZ4_TPU_PALLAS_DECODE", "1")))
+        # destination-aware big-block decode routing: this API
+        # host-materializes its output, so for >256 KB tiers the piece
+        # -wave device path's on-chip speed is swamped by the result
+        # download (relay ~16 MB/s, docs/tpu_perf_notes.md) while the
+        # host C tier decodes at GB/s — "auto" routes those to host.
+        # "device" keeps the piece waves (device-resident pipelines,
+        # bench's on-chip stage, interpret-mode coverage).
+        self.decode_dest = os.environ.get("LZ4_TPU_DECODE_DEST", "auto")
         # no-dict fast-tier encode rides the Pallas serial kernel
         # (block/encode_pallas.py): 1.6-2x the sort/scan graphs on-chip,
         # second-scale compiles, real --fast support
@@ -683,8 +691,11 @@ class TpuBackend:
         if mo > (1 << 18):
             # above the 256 KB tier the packed-words SMEM copy would
             # overflow SMEM (1 MB, double-buffered by the pipeline):
-            # -B6/-B7 decode as linked 64 KB piece waves instead
-            if self.pallas_decode and self._pallas_platform_ok():
+            # -B6/-B7 can decode as linked 64 KB piece waves — but this
+            # call returns HOST bytes, so by default the host C tier
+            # wins end-to-end (decode_dest policy above)
+            if (self.decode_dest == "device" and self.pallas_decode
+                    and self._pallas_platform_ok()):
                 return self._decompress_big_batch(
                     blocks, max_outs, dict_prefixes)
             return self._host().decompress_batch(

@@ -125,6 +125,9 @@ def test_piece_scan_interpret_roundtrip(monkeypatch):
     mode on CPU (compressible input keeps the sequence count small
     enough for the interpreter)."""
     monkeypatch.setenv("LZ4_TPU_PALLAS_CPU", "1")
+    # force the device piece-wave path (the engine default routes
+    # host-materializing big decodes to the host tier)
+    monkeypatch.setenv("LZ4_TPU_DECODE_DEST", "device")
     from lz4_tpu.parallel.engine import TpuBackend
     bc = native.blockcodec
     # ~1.6 MB, highly compressible (few sequences)

@@ -170,3 +170,116 @@ def test_fast_launcher_roundtrip(tmp_path):
                        timeout=120)
     assert r.returncode == 0, r.stderr
     assert out.read_bytes() == src.read_bytes()
+
+
+def _walk_frame_blocks(path):
+    """Yield (csize, is_uncompressed, payload) for each data block of a
+    single-LZ4F-frame file (the checkFrame walk, tests/checkFrame.c)."""
+    raw = path.read_bytes()
+    from lz4_tpu.frame.format import parse_frame_header
+    info, hlen = parse_frame_header(raw)
+    pos = hlen
+    while True:
+        (word,) = struct.unpack_from("<I", raw, pos)
+        pos += 4
+        if word == 0:
+            return
+        csize = word & 0x7FFFFFFF
+        yield csize, bool(word >> 31), raw[pos: pos + csize]
+        pos += csize
+        if info.block_checksum:
+            pos += 4
+
+
+def test_custom_block_sizes(tmp_path):
+    """-B#bytes analog of tests/test_custom_block_sizes.sh: exact byte
+    sizes are honored end-to-end (every block carries <= B input bytes)
+    and the frame header advertises the covering standard tier
+    (lz4io.c:286-300, lz4cli.c:612-649)."""
+    from lz4_tpu.block.ref_codec import decompress_block
+    src = tmp_path / "d.bin"
+    src.write_bytes(mixed_corpus(300_000, seed=11))
+    # (custom size, covering tier id); tier boundaries exact like the sh
+    cases = [(32, 4), (65535, 4), (65536, 4), (65537, 5),
+             (262143, 5), (262144, 5), (262145, 6), (33000, 4)]
+    for bsize, want_tier in cases:
+        dst = tmp_path / f"d_{bsize}.lz4"
+        assert run_cli("-f", f"-B{bsize}", src, dst) == 0
+        from lz4_tpu.frame.format import parse_frame_header
+        info, _ = parse_frame_header(dst.read_bytes())
+        assert info.block_size_id == want_tier, (bsize, info.block_size_id)
+        total = 0
+        for csize, stored, payload in _walk_frame_blocks(dst):
+            if stored:
+                dsize = csize
+            else:
+                dsize = len(decompress_block(payload, bsize))
+            assert dsize <= bsize
+            total += dsize
+        assert total == 300_000
+        out = tmp_path / "d.out"
+        assert run_cli("-d", "-f", dst, out) == 0
+        assert out.read_bytes() == src.read_bytes()
+    # below 32 and the 8..31 gap are refused (lz4cli badusage analog)
+    for bad in (8, 31):
+        with pytest.raises(SystemExit):
+            run_cli("-f", f"-B{bad}", src, tmp_path / "x.lz4")
+
+
+def test_block_property_chaining(tmp_path):
+    """-B accepts chained size/D/I/X properties in one token
+    (lz4cli.c:612-649) and -BI cancels -BD."""
+    src = tmp_path / "c.bin"
+    src.write_bytes(mixed_corpus(200_000, seed=12))
+    from lz4_tpu.frame.format import parse_frame_header
+    chained = tmp_path / "c1.lz4"
+    assert run_cli("-f", "-B4DX", src, chained) == 0
+    info, _ = parse_frame_header(chained.read_bytes())
+    assert info.block_size_id == 4
+    assert not info.block_independent
+    assert info.block_checksum
+    # -BD then -BI: independent wins
+    indep = tmp_path / "c2.lz4"
+    assert run_cli("-f", "-BD", "-BI", "-B4", src, indep) == 0
+    info, _ = parse_frame_header(indep.read_bytes())
+    assert info.block_independent
+    for p in (chained, indep):
+        out = tmp_path / "c.out"
+        assert run_cli("-d", "-f", p, out) == 0
+        assert out.read_bytes() == src.read_bytes()
+
+
+def test_lz4c_alias_legacy_commands(tmp_path):
+    """argv[0]=lz4c enables the legacy command set -c0/-c1/-c2/-hc/-y
+    (lz4cli.c:433-444, 523-530)."""
+    src = tmp_path / "l.bin"
+    src.write_bytes(mixed_corpus(120_000, seed=13))
+    dst = tmp_path / "l.lz4"
+    out = tmp_path / "l.out"
+    for flag in ("-c0", "-c1", "-hc"):
+        assert cli_main(["lz4c", "--backend", "host", flag, "-y",
+                         str(src), str(dst)]) == 0
+        assert run_cli("-d", "-f", dst, out) == 0
+        assert out.read_bytes() == src.read_bytes()
+    # without the alias "-c0" parses as -c + level 0 (reference
+    # semantics, lz4cli.c:520-535) — no rejection to assert
+
+
+@needs_oracle
+def test_custom_block_size_interop(tmp_path):
+    """Same -B33000 command line on both CLIs: each side decodes the
+    other's output (the interop contract of lz4cli.c:556-577)."""
+    src = tmp_path / "i.bin"
+    src.write_bytes(mixed_corpus(200_000, seed=14))
+    ours = tmp_path / "ours.lz4"
+    assert run_cli("-f", "-B33000", src, ours) == 0
+    r = ref_oracle.ref_cli(["-d", "-f", str(ours),
+                            str(tmp_path / "a.out")])
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "a.out").read_bytes() == src.read_bytes()
+    refz = tmp_path / "ref.lz4"
+    r = ref_oracle.ref_cli(["-B33000", "-f", str(src), str(refz)])
+    assert r.returncode == 0, r.stderr
+    out = tmp_path / "b.out"
+    assert run_cli("-d", "-f", refz, out) == 0
+    assert out.read_bytes() == src.read_bytes()

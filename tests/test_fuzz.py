@@ -169,3 +169,18 @@ def test_torture_long():
                                               "90")],
         capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_torture_short():
+    """Always-on 25 s differential torture cycle (host C + chunked DP
+    vs real liblz4 via tools/torture.py --no-device): plain `pytest -q`
+    now covers the differential fuzzer (round-3 verdict #8). The 90 s
+    device-codec run stays env-gated above."""
+    import subprocess
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "torture.py"),
+         "--no-device", "--seconds", "25"],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]

@@ -14,7 +14,10 @@ import os
 
 import pytest
 
-pytestmark = pytest.mark.skipif(
+# the GB-scale runs stay env-gated; test_hugefile_trimmed below is
+# always on so plain `pytest -q` covers the splitter/seam and
+# multi-chunk paths (round-3 verdict #8)
+huge_gate = pytest.mark.skipif(
     not os.environ.get("LZ4_TPU_HUGE"),
     reason="set LZ4_TPU_HUGE=1 for the GB-scale run")
 
@@ -44,6 +47,7 @@ def _xxh32_file(path: str) -> int:
     return st.digest()
 
 
+@huge_gate
 @pytest.mark.parametrize("mode", ["b7_indep", "b4_linked"])
 def test_huge_roundtrip(tmp_path, mode):
     from lz4_tpu.io.engine import IoPrefs, compress_file, decompress_file
@@ -79,4 +83,38 @@ def test_huge_roundtrip(tmp_path, mode):
     if ref_oracle.ensure_built():
         r = subprocess.run([ref_oracle.REF_CLI, "-t", lz4],
                            capture_output=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-400:]
+
+
+def test_hugefile_trimmed(tmp_path):
+    """Always-on 64 MB slice of the hugefile suite: multi-chunk frame
+    writing, 4 MB-block seams, linked history across chunks, and
+    reference verification run in plain `pytest -q` (round-3 verdict:
+    the env-gated GB runs left these paths uncovered by CI)."""
+    from lz4_tpu.io.engine import IoPrefs, compress_file, decompress_file
+
+    mb = int(os.environ.get("LZ4_TPU_HUGE_TRIM_MB", "64"))
+    src = str(tmp_path / "trim.bin")
+    lz4 = str(tmp_path / "trim.bin.lz4")
+    out = str(tmp_path / "trim.out")
+    n = _gen_file(src, mb)
+    want = _xxh32_file(src)
+
+    for prefs in (IoPrefs(block_size_id=7, block_independence=True,
+                          nb_workers=2),
+                  IoPrefs(block_size_id=4, block_independence=False)):
+        tin, tout = compress_file(src, lz4, prefs)
+        assert tin == n and 0 < tout < n
+        din, dout = decompress_file(lz4, out, IoPrefs())
+        assert dout == n
+        assert _xxh32_file(out) == want
+
+    # reference CLI verify of the last (linked) frame
+    import subprocess
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ref_oracle
+    if ref_oracle.ensure_built():
+        r = subprocess.run([ref_oracle.REF_CLI, "-t", lz4],
+                           capture_output=True, timeout=300)
         assert r.returncode == 0, r.stderr[-400:]
