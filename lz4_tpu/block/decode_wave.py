@@ -1,0 +1,266 @@
+"""128-lane lockstep ("wavefront") LZ4 decoder — block-per-lane on the VPU.
+
+The round-3 serial kernel (decode_pallas.py) decodes ONE block per
+sequential grid step at its measured op floor of ~180 ns/sequence with
+the 128-lane vector unit idle during the scalar parse. This kernel is
+the lane-parallel redesign the round-3 verdict asked for: 128
+independent blocks decode simultaneously, one per lane, with ALL parse
+state held in (1, 128) vector registers and every output row written
+densely in lockstep — no scatters, no per-block dynamic slices, no
+per-sequence scalar work.
+
+What makes lockstep possible is the WAVE re-layout produced by the host
+C splitter (lz4t_wave_split, native/blockcodec.c): every stream becomes
+pieces of EXACTLY 1024 output bytes whose compressed bytes sit at a
+fixed, output-proportional address (piece k at byte k*1088 of the
+lane's arena). At output row q every lane's comp cursor therefore lives
+inside piece (q//256)'s fixed 272-word slot — one shared dynamic slice
+serves all 128 lanes, bounding cursor spread BY CONSTRUCTION (the
+round-4 design note in docs/tpu_perf_notes.md). The wave grammar is
+chain-free with capped lengths, giving hard per-row bounds: <= 2
+sequence starts, <= 14 comp bytes consumed, <= 2 distinct match runs.
+
+Per output row (4 bytes x 128 lanes) the kernel:
+  1. fetches a 6-word comp lookahead per lane from the piece window;
+  2. runs 4 branch-free advance slots, each = (parse token if needed |
+     emit literals word-granular | parse match header if needed | emit
+     match bytes byte-granular with in-row-overlap via the accumulator);
+  3. gathers match sources from a near window of OUT (last 2 KB) with a
+     rare full-history escape for far offsets;
+  4. stores one dense (1, 128) row of OUT.
+
+Per-lane cross-row selects use one-hot compare+select+sum — NOT
+tpu.dynamic_gather dims=[0], which compiles but wedges the chip (see
+docs/tpu_perf_notes.md round-4 finding). In interpret mode (tests) the
+same selects run as take_along_axis for speed; a dedicated test pins
+one-hot == take_along_axis equivalence.
+
+Decoder analog: LZ4_decompress_generic (lz4.c:2022-2445); the splitter
+holds the validation contract (lz4.c:2279-2318), so the kernel itself
+is checkless on well-formed pieces (malformed streams never reach it).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+LANES = 128
+WOUT = 1024                  # output bytes per piece
+WCAP = 1088                  # arena bytes per piece slot
+WCAPW = WCAP // 4            # words per piece slot (272)
+RPP = WOUT // 4              # output rows per piece (256)
+NEAR_ROWS = 512              # near match window (2 KB back)
+LA_WORDS = 6                 # comp lookahead words per row
+
+
+def _fetch_rows(win, idx, n, use_onehot):
+    """Per-lane cross-row select: out[i, j] = win[idx[i, j], j] for
+    i < n. idx entries outside [0, W) fetch 0 (one-hot) / clamp
+    (interpret take_along_axis) — callers only consume in-range lanes.
+    """
+    W = win.shape[0]
+    if not use_onehot:
+        return jnp.take_along_axis(win, jnp.clip(idx, 0, W - 1), axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1 if False else 0)
+    outs = []
+    for i in range(n):
+        oh = rows == idx[i: i + 1, :]
+        outs.append(jnp.sum(jnp.where(oh, win, 0), axis=0, keepdims=True))
+    return jnp.concatenate(outs, 0)
+
+
+def _wave_kernel(warena_ref, out_ref, *, n_rows: int, use_onehot: bool,
+                 near_rows: int = NEAR_ROWS):
+    zero = jnp.zeros((1, LANES), jnp.int32)
+
+    def sel_la(la, widx):
+        """widx (1,128) in [0, LA_WORDS): la[widx[j], j]."""
+        v = zero
+        for i in range(LA_WORDS):
+            v = jnp.where(widx == i, la[i: i + 1, :], v)
+        return v
+
+    def read4(la, w0, c):
+        """4 LE bytes at absolute comp byte c, from the lookahead
+        anchored at word w0 (c-w0*4 in [0, 20])."""
+        widx = (c >> 2) - w0
+        lo = sel_la(la, widx)
+        hi = sel_la(la, widx + 1)
+        sh = 8 * (c & 3)
+        lo_p = jax.lax.shift_right_logical(lo, sh)
+        # branch-free high half: << (31-sh) << 1 is 0 when sh == 0
+        hi_p = jax.lax.shift_left(jax.lax.shift_left(hi, 31 - sh), 1)
+        return lo_p | hi_p
+
+    def body(q, st):
+        c, lr, pmn, mr, off = st
+        k = q // RPP
+        # ---- piece boundary: every lane's cursor jumps to the fixed
+        # slot address; wave sequences never cross pieces, so state is
+        # (and for garbage lanes, is forced) clean
+        at_b = (q % RPP) == 0
+        c = jnp.where(at_b, k * WCAP, c)
+        lr = jnp.where(at_b, 0, lr)
+        pmn = jnp.where(at_b, 0, pmn)
+        mr = jnp.where(at_b, 0, mr)
+
+        # ---- comp lookahead: LA_WORDS words from the per-lane cursor
+        # out of the piece's fixed (WCAPW, 128) window
+        cw = warena_ref[pl.ds(k * WCAPW, WCAPW), :]
+        w0 = c >> 2
+        base = w0 - k * WCAPW
+        la_idx = jnp.concatenate(
+            [base + i for i in range(LA_WORDS)], 0)
+        la = _fetch_rows(cw, la_idx, LA_WORDS, use_onehot)
+
+        # ---- near match window: the last near_rows rows of OUT
+        s0 = jnp.maximum(q - near_rows, 0)
+        ow = out_ref[pl.ds(s0, near_rows), :]
+
+        acc = zero
+        fill = zero
+        opos_row = 4 * q
+
+        def match_bytes_pair(src0, far_any):
+            """Fetch the word pair covering bytes src0..src0+3 of OUT
+            (absolute byte addresses < 4q+4; bytes >= 4q resolve from
+            acc at the select site). Far sources escape to a full-OUT
+            gather."""
+            sw = src0 >> 2
+            idx2 = jnp.concatenate([sw - s0, sw + 1 - s0], 0)
+            pair_near = _fetch_rows(ow, idx2, 2, use_onehot)
+
+            def far(_):
+                idx2f = jnp.concatenate([sw, sw + 1], 0)
+                full = out_ref[pl.ds(0, n_rows), :]
+                pf = _fetch_rows(full, idx2f, 2, use_onehot)
+                near_ok = jnp.broadcast_to(sw >= s0, (2, LANES))
+                return jnp.where(near_ok, pair_near, pf)
+
+            return jax.lax.cond(far_any, far, lambda _: pair_near, 0)
+
+        for _slot in range(4):
+            # -- token parse (sequence start)
+            need_tok = (lr == 0) & (pmn == 0) & (mr == 0)
+            x0 = read4(la, w0, c)
+            tok = x0 & 255
+            lx = (tok >> 4) == 15
+            lit_full = jnp.where(lx, 15 + ((x0 >> 8) & 255), tok >> 4)
+            lr = jnp.where(need_tok, lit_full, lr)
+            pmn = jnp.where(need_tok, tok & 15, pmn)
+            c = jnp.where(need_tok, c + 1 + lx.astype(jnp.int32), c)
+
+            # -- literal production (word-granular from comp)
+            xl = read4(la, w0, c)
+            t = jnp.minimum(lr, 4 - fill)
+            lmask = jnp.where(t >= 4, jnp.int32(-1),
+                              jax.lax.shift_left(jnp.int32(1), 8 * t) - 1)
+            acc = acc | jax.lax.shift_left(xl & lmask, 8 * fill)
+            fill = fill + t
+            lr = lr - t
+            c = c + t
+
+            # -- match header parse (after literals, if a match pends)
+            need_mh = (lr == 0) & (pmn > 0)
+            y = read4(la, w0, c)
+            mx = pmn == 15
+            m_full = jnp.where(mx, 15 + ((y >> 16) & 255), pmn)
+            mr = jnp.where(need_mh, m_full, mr)
+            off = jnp.where(need_mh, y & 0xFFFF, off)
+            c = jnp.where(need_mh, c + 2 + mx.astype(jnp.int32), c)
+            pmn = jnp.where(need_mh, 0, pmn)
+
+            # -- match production (byte-granular; overlap reads land in
+            # acc, the vector analog of lz4.c:2406-2418)
+            t2 = jnp.minimum(mr, 4 - fill)
+            src0 = opos_row + fill - off
+            far_any = jnp.any((t2 > 0) & ((src0 >> 2) < s0))
+            pair = match_bytes_pair(src0, far_any)
+            sw0 = src0 >> 2
+            for b in range(4):
+                srcb = src0 + b
+                wsel = jnp.where((srcb >> 2) == sw0, pair[0:1, :],
+                                 pair[1:2, :])
+                mb = jax.lax.shift_right_logical(
+                    wsel, 8 * (srcb & 3)) & 255
+                # in-row overlap: source bytes >= 4q come from acc
+                ab = jax.lax.shift_right_logical(
+                    acc, 8 * (srcb - opos_row)) & 255
+                mb = jnp.where(srcb >= opos_row, ab, mb)
+                takeb = (t2 > b)
+                acc = acc | jnp.where(
+                    takeb, jax.lax.shift_left(mb, 8 * (fill + b)), 0)
+            fill = fill + t2
+            mr = mr - t2
+
+        out_ref[pl.ds(q, 1), :] = acc
+        return c, lr, pmn, mr, off
+
+    init = (jnp.zeros((1, LANES), jnp.int32),) * 5
+    jax.lax.fori_loop(0, n_rows, body, init)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret",
+                                             "use_onehot"))
+def _wave_decode_raw(warena, *, n_rows: int, interpret: bool,
+                     use_onehot: bool):
+    """warena int32 (NP*WCAPW + pad, 128) interleaved wave-comp words
+    -> OUT int32 (n_rows, 128) interleaved output words."""
+    kern = functools.partial(_wave_kernel, n_rows=n_rows,
+                             use_onehot=use_onehot)
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+        interpret=interpret,
+    )(warena)
+
+
+def pack_warena(arenas: np.ndarray) -> np.ndarray:
+    """uint8 (B, NP, WCAP) per-lane wave arenas -> int32
+    (NP*WCAPW + 8, 128) interleaved LE words (lane-padded to 128)."""
+    B, NP, cap = arenas.shape
+    assert cap == WCAP and B <= LANES
+    w = arenas.reshape(B, NP * WCAPW, 4).astype(np.int32)
+    words = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16) \
+        | (w[..., 3] << 24)                      # (B, NP*WCAPW)
+    out = np.zeros((NP * WCAPW + 8, LANES), np.int32)
+    out[: NP * WCAPW, :B] = words.T
+    return out
+
+
+def wave_decode_batch(arenas: np.ndarray, out_lens,
+                      *, interpret: bool | None = None,
+                      use_onehot: bool | None = None) -> list[bytes]:
+    """Decode B <= 128 wave-split streams in one lockstep kernel call.
+
+    arenas uint8 (B, NP, WCAP) from lz4t_wave_split, out_lens the
+    per-stream decoded sizes (also from the splitter). Returns the
+    decoded byte strings.
+    """
+    if not _HAVE_PALLAS:  # pragma: no cover
+        raise RuntimeError("pallas unavailable")
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    if use_onehot is None:
+        use_onehot = not interpret
+    B, NP, _ = arenas.shape
+    n_rows = NP * RPP
+    warena = jnp.asarray(pack_warena(arenas))
+    out = _wave_decode_raw(warena, n_rows=n_rows,
+                           interpret=bool(interpret),
+                           use_onehot=bool(use_onehot))
+    flat = np.ascontiguousarray(np.asarray(out).T).astype("<u4") \
+        .view(np.uint8).reshape(LANES, n_rows * 4)
+    return [flat[i, : out_lens[i]].tobytes() for i in range(B)]

@@ -114,6 +114,10 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.lz4t_wave_split.restype = ctypes.c_long
+    lib.lz4t_wave_split.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, ctypes.POINTER(ctypes.c_int32)]
 
 
 class _XXH:
@@ -271,6 +275,27 @@ class _BlockCodec:
         if r < 0:
             return None
         return arena[:r], plens[:r], pouts[:r]
+
+    WAVE_OUT = 1024
+    WAVE_CAP = 1088
+
+    def wave_split(self, comp: bytes, *, max_pieces: int = 64,
+                   out_cap: int = 65536, hist_len: int = 0):
+        """Re-lay one LZ4 block stream into the 128-lane kernel's WAVE
+        format (lz4t_wave_split in blockcodec.c): fixed-address pieces
+        of exactly 1024 output bytes, chain-free capped sequences.
+        Returns (arena uint8[n_pieces, 1088], out_len) or None when
+        the stream is malformed / exceeds capacity."""
+        import numpy as np
+        comp = bytes(comp)
+        arena = np.zeros((max_pieces, self.WAVE_CAP), np.uint8)
+        out_len = ctypes.c_int32(0)
+        r = self._lib.lz4t_wave_split(
+            comp, len(comp), arena.ctypes.data_as(ctypes.c_void_p),
+            max_pieces, out_cap, hist_len, ctypes.byref(out_len))
+        if r < 0:
+            return None
+        return arena[:r], int(out_len.value)
 
     def decompress(self, comp: bytes, max_out: int,
                    dict_prefix: bytes | None = None) -> bytes:

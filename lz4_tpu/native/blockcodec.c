@@ -767,3 +767,167 @@ long lz4t_split_stream(const uint8_t *src, long n, uint8_t *dst,
     return pi + 1;
 #undef LZ4T_CLOSE_PIECE
 }
+
+/* ---- wave splitter for the 128-lane lockstep decode kernel ---------
+ *
+ * Re-lays one LZ4 sequence stream (lz4.c:2022-2445 grammar) into the
+ * kernel-internal WAVE format: fixed-address pieces of EXACTLY
+ * LZ4T_WAVE_OUT decoded bytes each (the final piece may be shorter),
+ * piece k's compressed bytes at dst[k*LZ4T_WAVE_CAP ...]. The fixed
+ * output-proportional placement is what lets 128 independent lanes
+ * share one deterministic sliding comp window on the TPU (no per-lane
+ * windows, no scatters): at output row q every lane's cursor lives in
+ * piece q/(LZ4T_WAVE_OUT/4)'s fixed slot.
+ *
+ * WAVE sequence grammar (all lengths capped, NO 255-chains):
+ *   token: hi-nibble lit_nib, lo-nibble m_nib
+ *   +1 ext byte iff lit_nib == 15:  litlen = 15 + ext   (<= 255)
+ *   litlen literal bytes
+ *   if m_nib > 0: 2-byte LE offset;
+ *     +1 ext byte iff m_nib == 15:  mlen = 15 + ext     (<= 255)
+ *   else mlen = 0 (literal-only sequence, no offset bytes)
+ *   mlen is the RAW copy length (no +MINMATCH): boundary fragments of
+ *   1..3 bytes are legal — sequences never cross a piece boundary
+ *   (matches split into same-offset parts, literal runs into chunks).
+ *
+ * Invariants the kernel's branch-free 2-parse-slot row loop relies on
+ * (verified by tests/test_wave.py::test_row_start_invariant):
+ *   - any 4-byte output row contains <= 2 sequence starts (chunk
+ *     smoothing keeps cap-forced remainders >= 4; tiny fragments only
+ *     at piece edges / the block tail, always preceded and followed by
+ *     >= 4-byte sequences);
+ *   - per-row comp consumption <= 2 headers (5B each) + 4 literal
+ *     bytes = 14, so a 5-word (20B) lookahead window from the cursor
+ *     covers any row at any alignment;
+ *   - a piece slot never exceeds LZ4T_WAVE_CAP bytes (worst case is
+ *     all-literal: 1024 + 5 headers ~ 1035).
+ *
+ * The splitter VALIDATES the stream completely (the strict whole-block
+ * rules of lz4.c:2279-2318 plus offset-vs-history) — the device kernel
+ * itself runs checkless; malformed streams return -1 here and the
+ * caller falls back to the strict host decoder for the real error.
+ *
+ * Returns the piece count (>0), -1 malformed, -2 capacity. *out_len
+ * gets the total decoded size. hist_len is the linked/dict history
+ * available before output position 0 (0 for independent blocks). */
+
+#define LZ4T_WAVE_OUT 1024L
+#define LZ4T_WAVE_CAP 1088L
+
+static uint8_t *lz4t__wave_emit(uint8_t *op, const uint8_t *lp, long L,
+                                long off, long M) {
+    long ln = L < 15 ? L : 15, mn = M < 15 ? M : 15;
+    *op++ = (uint8_t)((ln << 4) | mn);
+    if (ln == 15) *op++ = (uint8_t)(L - 15);
+    if (L > 0) { memcpy(op, lp, (size_t)L); op += L; }
+    if (M > 0) {
+        *op++ = (uint8_t)(off & 255);
+        *op++ = (uint8_t)(off >> 8);
+        if (mn == 15) *op++ = (uint8_t)(M - 15);
+    }
+    return op;
+}
+
+long lz4t_wave_split(const uint8_t *src, long n, uint8_t *dst,
+                     long max_pieces, long out_cap, long hist_len,
+                     int32_t *out_len) {
+    const uint8_t *ip = src, *iend = src + n;
+    long og = 0;
+    uint8_t *op = dst;
+    long slot = 0;
+
+    if (n <= 0 || max_pieces < 1) return -1;
+
+#define LZ4T_WAVE_ADVANCE() do {                                       \
+        long s_ = og / LZ4T_WAVE_OUT;                                  \
+        if (s_ != slot && og < out_cap) {                              \
+            if (s_ >= max_pieces) return -2;                           \
+            slot = s_;                                                 \
+            op = dst + slot * LZ4T_WAVE_CAP;                           \
+        }                                                              \
+    } while (0)
+
+#define LZ4T_WAVE_ROOM(sz_) do {                                       \
+        if (op + (sz_) > dst + slot * LZ4T_WAVE_CAP + LZ4T_WAVE_CAP)   \
+            return -2;                                                 \
+    } while (0)
+
+    while (ip < iend) {
+        long tok, L, ML, off = 0, mrem, first;
+        const uint8_t *lp;
+        tok = *ip++;
+        L = tok >> 4;
+        if (L == 15) {
+            unsigned b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                L += b;
+            } while (b == 255);
+        }
+        if (iend - ip < L) return -1;
+        lp = ip;
+        ip += L;
+        if (ip >= iend) {
+            ML = 0;                       /* final literal-only seq */
+        } else {
+            /* strict whole-block rules (lz4.c:2279-2318) */
+            if (iend - ip < 2 + 1 + 5) return -1;
+            if (og + L > out_cap - 12) return -1;
+            off = ip[0] | ((long)ip[1] << 8);
+            ip += 2;
+            if (off == 0) return -1;
+            if (off > og + L + hist_len) return -1;
+            ML = (tok & 15);
+            if (ML == 15) {
+                unsigned b;
+                do {
+                    if (ip >= iend) return -1;
+                    b = *ip++;
+                    ML += b;
+                } while (b == 255);
+            }
+            ML += 4;
+            if (og + L + ML > out_cap - 5) return -1;
+        }
+        if (og + L + ML > out_cap) return -1;
+
+        /* literal chunks until the remainder can ride the match seq */
+        while (L > 0) {
+            long space = LZ4T_WAVE_OUT - (og % LZ4T_WAVE_OUT);
+            long l;
+            if (ML > 0 && L <= 255 && L < space) break;
+            l = L;
+            if (l > 255) l = 255;
+            if (l > space) l = space;
+            LZ4T_WAVE_ROOM(2 + l);
+            op = lz4t__wave_emit(op, lp, l, 0, 0);
+            lp += l; L -= l; og += l;
+            LZ4T_WAVE_ADVANCE();
+        }
+        if (ML == 0) break;               /* block tail emitted above */
+
+        mrem = ML;
+        first = 1;
+        while (mrem > 0) {
+            long space = LZ4T_WAVE_OUT - (og % LZ4T_WAVE_OUT);
+            long lh = first ? L : 0;
+            long m = mrem;
+            if (m > 255) m = 255;
+            if (m > space - lh) m = space - lh;
+            /* smoothing: a cap-forced split must not leave a 1..3-byte
+             * remainder mid-piece (the <=2-starts-per-row invariant) */
+            if (m == 255 && mrem - m > 0 && mrem - m < 4) m = mrem - 4;
+            LZ4T_WAVE_ROOM(5 + lh);
+            op = lz4t__wave_emit(op, lp, lh, off, m);
+            og += lh + m;
+            mrem -= m;
+            if (first) { lp += L; L = 0; first = 0; }
+            LZ4T_WAVE_ADVANCE();
+        }
+    }
+    *out_len = (int32_t)og;
+    return og ? (og + LZ4T_WAVE_OUT - 1) / LZ4T_WAVE_OUT : -1;
+#undef LZ4T_WAVE_ADVANCE
+#undef LZ4T_WAVE_ROOM
+}
