@@ -79,9 +79,20 @@ def _fetch_rows(win, idx, n, use_onehot):
     return jnp.concatenate(outs, 0)
 
 
-def _wave_kernel(warena_ref, out_ref, *, n_rows: int, use_onehot: bool,
-                 near_rows: int = NEAR_ROWS):
+def _wave_kernel(warena_ref, out_ref, cw_buf, cw_sem, *, n_rows: int,
+                 use_onehot: bool, near_rows: int = NEAR_ROWS):
+    """warena_ref lives in HBM (the full arena + OUT would exceed
+    VMEM); the current piece's fixed (WCAPW, 128) window is
+    double-buffered into cw_buf by async DMA — the deterministic
+    piece-k -> slot-k%2 schedule is exactly why the wave re-layout
+    pins comp addresses to output positions."""
     zero = jnp.zeros((1, LANES), jnp.int32)
+    n_pieces = n_rows // RPP
+
+    def piece_dma(k, slot):
+        return pltpu.make_async_copy(
+            warena_ref.at[pl.ds(k * WCAPW, WCAPW), :],
+            cw_buf.at[slot], cw_sem.at[slot])
 
     def sel_la(la, widx):
         """widx (1,128) in [0, LA_WORDS): la[widx[j], j]."""
@@ -114,9 +125,19 @@ def _wave_kernel(warena_ref, out_ref, *, n_rows: int, use_onehot: bool,
         pmn = jnp.where(at_b, 0, pmn)
         mr = jnp.where(at_b, 0, mr)
 
+        # ---- piece window DMA: at each piece start, wait for this
+        # piece's prefetch and kick off the next piece's
+        @pl.when(at_b)
+        def _():
+            piece_dma(k, k % 2).wait()
+
+            @pl.when(k + 1 < n_pieces)
+            def _():
+                piece_dma(k + 1, (k + 1) % 2).start()
+
         # ---- comp lookahead: LA_WORDS words from the per-lane cursor
         # out of the piece's fixed (WCAPW, 128) window
-        cw = warena_ref[pl.ds(k * WCAPW, WCAPW), :]
+        cw = cw_buf[pl.ds(k % 2, 1)][0]
         w0 = c >> 2
         base = w0 - k * WCAPW
         la_idx = jnp.concatenate(
@@ -206,6 +227,7 @@ def _wave_kernel(warena_ref, out_ref, *, n_rows: int, use_onehot: bool,
         out_ref[pl.ds(q, 1), :] = acc
         return c, lr, pmn, mr, off
 
+    piece_dma(0, 0).start()          # prologue: piece 0 in flight
     init = (jnp.zeros((1, LANES), jnp.int32),) * 5
     jax.lax.fori_loop(0, n_rows, body, init)
 
@@ -220,9 +242,11 @@ def _wave_decode_raw(warena, *, n_rows: int, interpret: bool,
                              use_onehot=use_onehot)
     return pl.pallas_call(
         kern,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((2, WCAPW, LANES), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(warena)
 

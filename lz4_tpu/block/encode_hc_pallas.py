@@ -7,32 +7,32 @@ measured machine model (encode_pallas.py): one block per grid step,
 all parsing on the scalar unit from packed SMEM words, the pending-
 word sequential emitter, cond-free outer loop.
 
-Differences from the reference's search, chosen TPU-first:
+Round-4 revision: the parse is the reference's FULL 3-match overlap
+arbitration — the _Search2/_Search3 goto graph (lz4hc.c:1157-1310)
+converted to a lax.switch state machine, with the wider-match search
+(LZ4HC_InsertAndGetWiderMatch incl. the can-beat filter,
+lz4hc.c:884-1104) and the level-9 repeat-pattern analysis
+(countPattern/reverseCountPattern jumps, lz4hc.c:811-1059). The port
+mirrors the host lazy tier (compress_lazy, native/hccodec.c) structure
+exactly and produces BYTE-IDENTICAL streams to it at every routed
+level and depth (tests/test_encode_hc_pallas.py), which in turn grades
+byte-identical to the reference hashChain — so device HC levels 3-9
+are exact-parity with the reference (round-3 verdict #4 closed).
+
+TPU-side representation choices:
 
   * the chain table stores 16-bit PREVIOUS-OCCURRENCE DELTAS packed
     two per int32 SMEM word (the reference's chainTable is 64K u16,
     lz4hc.h:235-250) — a delta past the 64 KB window doubles as the
-    chain terminator;
-  * candidates are scored by their WIDER length: each one back-extends
-    toward the anchor before forward extension, the core idea of
-    LZ4HC_InsertAndGetWiderMatch (lz4hc.c:884-1104) without the
-    chainSwap machinery;
-  * one-step lazy arbitration repeats while the next position finds a
-    strictly longer match (the Search2 loop skeleton, lz4hc.c:1157-
-    1310);
-  * the depth ladder runs DEEPER than the reference's nbSearches at
-    the same level (kDepth below) to buy back the parse quality of the
-    reference's 3-candidate overlap arbitration — graded to stay at or
-    under the reference size per level (tools/hc_grade_device.py).
-
-Graded size parity vs the reference (tools/hc_grade_device.py, 2 MB
-of real/text/mixed 64 KB blocks, with the start0-restore rule):
-level 3 worst 0.99797, level 4 0.99981 — at or under the reference at
-the engine-routed levels. Level 5 lands +5 BYTES over on the mixed
-corpus (depth-independent — a single structural arbitration decision)
-and levels 7-9 grade 1.003-1.006x over (Search3 3-match juggling and
-level-9 pattern analysis are the remainder), so 5+ route to the host
-DP tier, which holds <= reference at every level.
+    chain terminator; head entries carry a grid-step tag so neither
+    table is ever cleared;
+  * search positions strictly increase across the whole parse (an
+    invariant of the reference's goto graph: every next probe lands
+    past the previous one because m.len counts back-extension), so
+    delta-chain walks are exactly equivalent to the reference's
+    absolute-index walks;
+  * all inserts happen in order through insert_range (LZ4HC_Insert
+    analog); searched positions are NOT self-inserted.
 
 No dictionary mode: linked/dict HC batches route to the host tier
 (engine gate).
@@ -58,17 +58,15 @@ HASH_LOG = 15
 HASH_MUL = np.int32(np.uint32(2654435761))
 WINDOW = 65535
 
-#: search depth per level 0..12 (levels 3-9 are the device tier; the
-#: reference's nbSearches ladder is 4..256, lz4hc.c:92-106 — ours runs
-#: deeper to compensate for the simpler arbitration)
-K_DEPTH = (8, 8, 8, 12, 24, 96, 96, 160, 256, 512, 512, 512, 512)
-#: sufficient length: accept immediately (targetLength analog)
-K_SUFF = (64, 64, 64, 64, 96, 128, 192, 256, 384, 512, 512, 512, 512)
+#: search depth per level 0..12 — the reference's nbSearches ladder
+#: (lz4hc.c:92-106 / kTries in native/hccodec.c); the parse is now the
+#: full 3-match arbitration, so no extra depth is needed
+K_DEPTH = (4, 4, 4, 4, 8, 16, 32, 64, 128, 256, 256, 256, 256)
 
 
 def _hc_kernel(len_ref, src_ref, out_ref, csize_ref, trail_ref,
                head, chainw, *, n_words: int, w_out: int, depth: int,
-               suff: int, favor: int = 0):
+               favor: int = 0):
     """One block per grid step; no-dict HC chain parse.
     head: (2^HASH_LOG,) int32 scratch — last position+1 per hash, with
     a grid-step tag in the high bits (never cleared); chainw:
@@ -79,6 +77,9 @@ def _hc_kernel(len_ref, src_ref, out_ref, csize_ref, trail_ref,
     n = len_ref[b]
     mflimit = n - MFLIMIT
     matchlimit = n - LASTLITERALS
+    # pattern analysis kicks in at nbSearches > 128, i.e. level 9
+    # (lz4hc.c:1133)
+    pa = depth > 128
 
     def rbyte(q):
         return (src_ref[0, 0, q >> 2] >> (8 * (q & 3))) & 255
@@ -154,56 +155,162 @@ def _hc_kernel(len_ref, src_ref, out_ref, csize_ref, trail_ref,
                                   (jnp.int32(0), maxn > 0))
         return c
 
-    def search_min(q, lowback, min_len):
-        """Wider-match chain search at q: walks up to `depth`
-        candidates, scoring back+fwd extension (back-extension bounded
-        by lowback — LZ4HC_InsertAndGetWiderMatch's iLowLimit). Only
-        totals strictly above min_len are reported. Also INSERTS q."""
-        anchor = lowback
-        seq = read4(q)
-        h = hash4(seq)
+    def read16c(q):
+        """16-bit LE read with a >=0 clamp: the can-beat filter may
+        form an out-of-range address for candidates that cannot beat
+        anyway (see lazy_search in native/hccodec.c) — the clamp only
+        changes reads whose outcome is irrelevant."""
+        return read4(jnp.maximum(q, 0)) & 0xFFFF
+
+    def count_pat_fwd(q, pat, limit):
+        """Run length of the repeating 4-byte pattern starting at q
+        (LZ4HC_countPattern analog, lz4hc.c:820-848)."""
+        def wb(st):
+            p, _ = st
+            ok = (p + 4 <= limit) & (read4(p) == pat)
+            return jnp.where(ok, p + 4, p), ok
+
+        p, _ = jax.lax.while_loop(lambda st: st[1], wb,
+                                  (q, jnp.bool_(True)))
+        x = pat
+        go = jnp.bool_(True)
+        for _ in range(3):
+            ok = go & (p < limit) & (rbyte(p) == (x & 255))
+            p = p + ok.astype(jnp.int32)
+            go = ok
+            x = jax.lax.shift_right_logical(x, 8) | jax.lax.shift_left(x, 24)
+        return p - q
+
+    def count_pat_rev(q, pat, low):
+        """Run length of the pattern ending at q, scanning backwards
+        (LZ4HC_reverseCountPattern analog, lz4hc.c:853-868)."""
+        def wb(st):
+            p, _ = st
+            ok = (p >= low + 4) & (read4(p - 4) == pat)
+            return jnp.where(ok, p - 4, p), ok
+
+        p, _ = jax.lax.while_loop(lambda st: st[1], wb,
+                                  (q, jnp.bool_(True)))
+        x = pat
+        go = jnp.bool_(True)
+        for _ in range(3):
+            hb = jax.lax.shift_right_logical(x, 24) & 255
+            ok = go & (p > low) & (rbyte(jnp.maximum(p - 1, 0)) == hb)
+            p = p - ok.astype(jnp.int32)
+            go = ok
+            x = jax.lax.shift_left(x, 8) | jax.lax.shift_right_logical(x, 24)
+        return q - p
+
+    def lazy_search(pos, lowpos, longest0, ni):
+        """Widest match whose start may back-extend to lowpos, beating
+        longest0 — the LZ4HC_InsertAndGetWiderMatch port mirrored from
+        the host lazy tier (lazy_search, native/hccodec.c; reference
+        lz4hc.c:884-1104) including the can-beat filter and, at
+        pa (nbSearches > 128, i.e. level 9), the repeat-pattern
+        analysis (lz4hc.c:987-1059). Positions [ni, pos) are inserted
+        first (LZ4HC_Insert analog); pos itself is NOT inserted.
+        Returns (len, off, back, ni'): off == 0 means nothing beat."""
+        ni2 = insert_range(ni, pos)
+        pat = read4(pos)
+        h = hash4(pat)
         e = head[h]
-        prev = e & 0x3FFFF
         stale = jax.lax.shift_right_logical(e, 18) != bt
-        same = ~stale & (prev == q)
-        d0 = q - prev
-        d0 = jnp.where(stale | (d0 > WINDOW) | (d0 <= 0), 0, d0)
-        d0 = jnp.where(same, chain_get(q), d0)
-        chain_set(q, d0)
-        head[h] = (bt << 18) | q
-        back_room = q - anchor
+        prev = e & 0x3FFFF
+        lowest = jnp.maximum(pos - WINDOW, 0)
+        lookback = pos - lowpos
+        c0 = prev
+        alive0 = ~stale & (c0 >= lowest) & (c0 < pos)
 
         def body(st):
-            c, tries, bl, bs, bc = st
-            # candidate total width: back + 4 + fwd (validated)
-            ok = read4(c) == seq
-            fl = jnp.where(ok, fwd_count(q + 4, c + 4,
-                                         matchlimit - (q + 4)), -4)
-            bk = jnp.where(ok & (c > 0),
-                           back_count(q, c, jnp.minimum(back_room, c)),
+            c, tries, lg, offb, backb, rep, spl = st
+            # ---- score candidate c (filter + wider extension) -------
+            filt = read16c(lowpos + lg - 1) == \
+                read16c(c - lookback + lg - 1)
+            ok = filt & (read4(c) == pat)
+            if favor:
+                ok = ok & ~((pos - c) < 8)
+            fl = jnp.where(ok, fwd_count(pos + 4, c + 4,
+                                         matchlimit - (pos + 4)),
+                           jnp.int32(-4))
+            bk = jnp.where(ok & (lookback > 0),
+                           back_count(pos, c, jnp.minimum(lookback, c)),
                            0)
             tot = 4 + fl + bk
-            better = ok & (tot > bl)
-            if favor:
-                better = better & ~((q - c) < 8)
-            bl = jnp.where(better, tot, bl)
-            bs = jnp.where(better, q - bk, bs)
-            bc = jnp.where(better, c - bk, bc)
+            better = ok & (tot > lg)
+            lg = jnp.where(better, tot, lg)
+            offb = jnp.where(better, pos - c, offb)
+            backb = jnp.where(better, bk, backb)
+
+            # ---- next candidate -------------------------------------
             dlt = chain_get(c)
-            nxt = c - dlt
-            dead = (dlt == 0) | (q - nxt > WINDOW) | (nxt < 0) \
-                | (bl >= suff)
-            return nxt, jnp.where(dead, 0, tries - 1), bl, bs, bc
+            if pa:
+                pa_hit = (c > 0) & (dlt == 1)
 
-        c0 = q - d0
-        init = (c0, jnp.where(d0 == 0, 0, jnp.int32(depth)),
-                min_len, q, q)
-        _, _, bl, bs, bc = jax.lax.while_loop(
-            lambda st: st[1] > 0, body, init)
-        return bl, bs, bc
+                def detect(_):
+                    periodic = ((pat & 0xFFFF) ==
+                                jax.lax.shift_right_logical(pat, 16)) \
+                        & ((pat & 255) ==
+                           jax.lax.shift_right_logical(pat, 24))
+                    spl_n = jnp.where(
+                        periodic,
+                        count_pat_fwd(pos + 4, pat, matchlimit) + 4,
+                        spl)
+                    return jnp.where(periodic, 2, 1), spl_n
 
-    def search(q, anchor):
-        return search_min(q, anchor, jnp.int32(0))
+                rep, spl = jax.lax.cond(
+                    pa_hit & (rep == 0), detect,
+                    lambda _: (rep, spl), 0)
+                cand = c - 1
+                applies = pa_hit & (rep == 2) & (cand >= lowest) \
+                    & (read4(jnp.maximum(cand, 0)) == pat)
+
+                def pat_arm(args):
+                    lg, offb, backb = args
+                    fwd_pat = count_pat_fwd(cand + 4, pat,
+                                            matchlimit) + 4
+                    back_pat = count_pat_rev(cand, pat, jnp.int32(0))
+                    back_pat = jnp.where(cand - back_pat < lowest,
+                                         cand - lowest, back_pat)
+                    seg = back_pat + fwd_pat
+                    fits = (seg >= spl) & (fwd_pat <= spl)
+                    c_fit = cand + fwd_pat - spl
+                    c_nf = cand - back_pat
+                    lb0 = (lookback == 0) & ~fits
+                    max_ml = jnp.minimum(seg, spl)
+                    upd = lb0 & (lg < max_ml)
+                    brk = upd & (pos - c_nf > WINDOW)
+                    lg2 = jnp.where(upd & ~brk, max_ml, lg)
+                    off2 = jnp.where(upd & ~brk, pos - c_nf, offb)
+                    back2 = jnp.where(upd & ~brk, 0, backb)
+                    dlt2 = chain_get(jnp.maximum(c_nf, 0))
+                    nc_lb0 = c_nf - dlt2
+                    dead_lb0 = brk | (dlt2 == 0) | (nc_lb0 < lowest)
+                    nc = jnp.where(fits, c_fit,
+                                   jnp.where(lb0, nc_lb0, c_nf))
+                    dead = jnp.where(
+                        fits, c_fit < lowest,
+                        jnp.where(lb0, dead_lb0, c_nf < lowest))
+                    return nc, dead, lg2, off2, back2
+
+                def norm_arm(args):
+                    lg, offb, backb = args
+                    nc = c - dlt
+                    return nc, (dlt == 0) | (nc < lowest), lg, offb, \
+                        backb
+
+                nc, dead, lg, offb, backb = jax.lax.cond(
+                    applies, pat_arm, norm_arm, (lg, offb, backb))
+            else:
+                nc = c - dlt
+                dead = (dlt == 0) | (nc < lowest)
+            return (nc, jnp.where(dead, 0, tries - 1), lg, offb,
+                    backb, rep, spl)
+
+        init = (c0, jnp.where(alive0, jnp.int32(depth), 0), longest0,
+                jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        _, _, lg, offb, backb = jax.lax.while_loop(
+            lambda st: st[1] > 0, body, init)[:5]
+        return lg, offb, backb, ni2
 
     # ---- pending-word emitter (see encode_pallas.py) -----------------
     def emit1(op, pend, v):
@@ -268,119 +375,203 @@ def _hc_kernel(len_ref, src_ref, out_ref, csize_ref, trail_ref,
         end = jax.lax.while_loop(lambda q: q < b, body, a)
         return jnp.maximum(end, a)
 
-    def scan(p, anchor):
-        """Walk positions (stride 1 — HC has no skip accelerator,
-        lz4hc.c:1121-1310) until a chain match lands. Returns
-        (ml, ms, mc, last_ins)."""
-        def body(s):
-            sp, _ml, _ms, _mc = s
-            ml, ms, mc = search(sp, anchor)
-            hit = ml >= 4
-            return (jnp.where(hit, sp, sp + 1), ml, ms, mc)
-
-        def cond(s):
-            return (s[1] < 4) & (s[0] <= mflimit)
-
-        sp, ml, ms, mc = jax.lax.while_loop(
-            cond, body, (p, jnp.int32(0), p, p))
-        return ml, ms, mc, sp + 1
-
     OPTIMAL_ML = 18
 
-    def ladder_body(st):
-        """The reference hashChain arbitration (lz4hc.c:1157-1310),
-        folded into one loop: the current match m1 at ip is probed for
-        a strictly-longer OVERLAPPING match near its end
-        (ip + ml1 - 2, back-extension bounded by ip); no better ->
-        emit m1 and scan on; better-but-immediate (< 3 bytes in) ->
-        replace; otherwise truncate m1 against the newcomer (with the
-        OPTIMAL_ML correction) and promote m2 to m1. (ip0, ml00, mc0)
-        remember the ladder run's ORIGINAL match: when replaces have
-        moved m1 forward and the newest match still starts inside the
-        original's span, the original is restored (the start0 rule,
-        lz4.c:1186-1189) — squeezing m1 between m0 and m2."""
-        (ip, ml1, mc1, ip0, ml00, mc0, anchor, op, pend,
-         last_ins) = st
-        # the reference probes at end-2 (Search2); end-3 was
-        # graded and rejected (better on text, worse on mixed)
-        probe_q = ip + ml1 - 2
-        can = ip + ml1 <= mflimit
-        last_ins = insert_range(last_ins,
-                                jnp.where(can, probe_q, last_ins))
-        # wider search (insert of probe_q is harmless when past
-        # mflimit: a real position, validated like any candidate)
-        ml2, ms2, mc2 = search_min(probe_q, ip, ml1)
-        last_ins = jnp.maximum(last_ins, probe_q + 1)
-        found2 = can & (ml2 > ml1)
-        # start0 restore (lz4hc.c:1186-1189)
-        restored = found2 & (ip0 < ip) & (ms2 < ip0 + ml00)
-        ip = jnp.where(restored, ip0, ip)
-        ml1 = jnp.where(restored, ml00, ml1)
-        mc1 = jnp.where(restored, mc0, mc1)
-        repl = found2 & ((ms2 - ip) < 3)
-        emit_case = ~repl
-        d = ms2 - ip
-        overlap = ms2 < ip + ml1
-        # OPTIMAL_ML correction (lz4hc.c:1198-1211): keep m1's emitted
-        # length near 18 by shifting the seam into m2 (m2 stays >= 4)
-        new_ml = jnp.minimum(jnp.minimum(ml1, OPTIMAL_ML), d + ml2 - 4)
-        corr = jnp.maximum(new_ml - d, 0)
-        use_corr = found2 & ~repl & (d < OPTIMAL_ML)
-        ms2 = jnp.where(use_corr, ms2 + corr, ms2)
-        mc2 = jnp.where(use_corr, mc2 + corr, mc2)
-        ml2 = jnp.where(use_corr, ml2 - corr, ml2)
-        ml1e = jnp.where(
-            found2,
-            jnp.where(d < OPTIMAL_ML, new_ml,
-                      jnp.where(overlap, d, ml1)),
-            ml1)
-
-        def do_emit(st2):
-            op, pend = st2
+    def emit_one(op, pend, anchor, ip, off, mlen, enable):
+        """Emit one sequence: [anchor, ip) literals + (off, mlen) match,
+        under `enable` (LZ4HC_encodeSequence analog, lz4hc.c:268-355)."""
+        def do(st):
+            op, pend = st
             litlen = ip - anchor
-            offset = ip - mc1
-            mlc = ml1e - 4
+            mlc = mlen - 4
             tok = ((jnp.minimum(litlen, 15) << 4)
                    | jnp.minimum(mlc, 15))
             op, pend = emit1(op, pend, tok)
             op, pend = emit_len(op, pend, litlen - 15, litlen >= 15)
             op, pend = copy_lits(op, pend, anchor, litlen)
-            op, pend = emit1(op, pend, offset & 255)
-            op, pend = emit1(op, pend, offset >> 8)
+            op, pend = emit1(op, pend, off & 255)
+            op, pend = emit1(op, pend, off >> 8)
             op, pend = emit_len(op, pend, mlc - 15, mlc >= 15)
             return op, pend
 
-        op, pend = jax.lax.cond(emit_case, do_emit, lambda s: s,
-                                (op, pend))
-        anchor = jnp.where(emit_case, ip + ml1e, anchor)
+        return jax.lax.cond(enable, do, lambda s: s, (op, pend))
 
-        def next_scan(args):
-            anchor2, last_ins2 = args
-            li = insert_range(last_ins2, anchor2)
-            mln, msn, mcn, li2 = scan(anchor2, anchor2)
-            return (jnp.where(mln >= 4, msn, jnp.int32(-1)), mln, mcn,
-                    jnp.maximum(li, li2))
+    # ---- parse: the reference's 3-match overlap arbitration
+    # (_Search2/_Search3, lz4hc.c:1157-1310) as a state machine — the
+    # goto graph of the host lazy tier (compress_lazy in
+    # native/hccodec.c, graded byte-identical to the reference), one
+    # lazy_search per iteration. States: 0 scan, 1 Search2, 2 Search3,
+    # 3 done. Carry: (state, ip, anchor, m1l, m1o, s0, m0l, m0o, s2,
+    # m2l, m2o, ni, op, pend); m3/s3 never survive an iteration.
+    S_SCAN, S_S2, S_S3 = 0, 1, 2
 
-        def next_carry(args):
-            del args
-            return ms2, ml2, mc2, last_ins
+    def scan_arm(cy):
+        (state, ip, anchor, m1l, m1o, s0, m0l, m0o, s2, m2l, m2o,
+         ni, op, pend) = cy
 
-        ipn, ml1n, mc1n, last_ins = jax.lax.cond(
-            found2, next_carry, next_scan, (anchor, last_ins))
-        # a fresh ladder run (any emit, or a scan result) resets the
-        # remembered original; replaces keep it
-        ip0n = jnp.where(repl, ip0, ipn)
-        ml0n = jnp.where(repl, ml00, ml1n)
-        mc0n = jnp.where(repl, mc0, mc1n)
-        return (ipn, ml1n, mc1n, ip0n, ml0n, mc0n, anchor, op, pend,
-                last_ins)
+        def done(args):
+            ip, ni = args
+            return jnp.int32(3), ip, jnp.int32(0), jnp.int32(0), ni
 
-    mlA, msA, mcA, liA = scan(jnp.int32(0), jnp.int32(0))
-    ipA = jnp.where(mlA >= 4, msA, jnp.int32(-1))
-    _, _, _, _, _, _, anchor, op, pend, _ = jax.lax.while_loop(
-        lambda st: st[0] >= 0, ladder_body,
-        (ipA, mlA, mcA, ipA, mlA, mcA,
-         jnp.int32(0), jnp.int32(0), jnp.int32(0), liA))
+        def do(args):
+            ip, ni = args
+            ml, mo, _mb, ni2 = lazy_search(ip, ip, jnp.int32(3), ni)
+            hit = (ml >= 4) & (mo > 0)
+            return (jnp.where(hit, jnp.int32(S_S2), jnp.int32(S_SCAN)),
+                    jnp.where(hit, ip, ip + 1), ml, mo, ni2)
+
+        state2, ip2, ml, mo, ni2 = jax.lax.cond(
+            ip > mflimit, done, do, (ip, ni))
+        hit = state2 == S_S2
+        # start0 save (lz4hc.c:1160)
+        return (state2, ip2, anchor,
+                jnp.where(hit, ml, m1l), jnp.where(hit, mo, m1o),
+                jnp.where(hit, ip2, s0),
+                jnp.where(hit, ml, m0l), jnp.where(hit, mo, m0o),
+                s2, m2l, m2o, ni2, op, pend)
+
+    def s2_arm(cy):
+        (state, ip, anchor, m1l, m1o, s0, m0l, m0o, _s2, _m2l, _m2o,
+         ni, op, pend) = cy
+        can2 = ip + m1l <= mflimit
+        probe = ip + m1l - 2
+
+        def srch(args):
+            ni, = args
+            return lazy_search(probe, ip, m1l, ni)
+
+        def nos(args):
+            ni, = args
+            return m1l, jnp.int32(0), jnp.int32(0), ni
+
+        m2l, m2o, m2b, ni = jax.lax.cond(can2, srch, nos, (ni,))
+        s2 = probe - m2b
+        better = can2 & (m2l > m1l) & (m2o > 0)
+
+        # no better: emit m1, back to scan (lz4hc.c:1177-1183)
+        emitA = ~better
+        op, pend = emit_one(op, pend, anchor, ip, m1o, m1l, emitA)
+        ipA = ip + m1l
+
+        # start0 restore (lz4hc.c:1186-1189)
+        restore = better & (s0 < ip) & (s2 < ip + m0l)
+        ipB = jnp.where(restore, s0, ip)
+        m1lB = jnp.where(restore, m0l, m1l)
+        m1oB = jnp.where(restore, m0o, m1o)
+        # first match too small: drop it (lz4hc.c:1192-1196)
+        small = better & ((s2 - ipB) < 3)
+        ipB2 = jnp.where(small, s2, ipB)
+        m1lB2 = jnp.where(small, m2l, m1lB)
+        m1oB2 = jnp.where(small, m2o, m1oB)
+
+        state2 = jnp.where(emitA, jnp.int32(S_SCAN),
+                           jnp.where(small, jnp.int32(S_S2),
+                                     jnp.int32(S_S3)))
+        return (state2,
+                jnp.where(emitA, ipA, ipB2),
+                jnp.where(emitA, ipA, anchor),
+                jnp.where(emitA, m1l, m1lB2),
+                jnp.where(emitA, m1o, m1oB2),
+                s0, m0l, m0o, s2, m2l, m2o, ni, op, pend)
+
+    def s3_arm(cy):
+        (state, ip, anchor, m1l, m1o, s0, m0l, m0o, s2, m2l, m2o,
+         ni, op, pend) = cy
+        # pre-trim m1 so it leaves >= MINMATCH of m2 (lz4hc.c:1199-1210)
+        close = (s2 - ip) < OPTIMAL_ML
+        nml = jnp.minimum(m1l, OPTIMAL_ML)
+        nml = jnp.where(ip + nml > s2 + m2l - 4, s2 - ip + m2l - 4, nml)
+        corr = nml - (s2 - ip)
+        app = close & (corr > 0)
+        s2 = jnp.where(app, s2 + corr, s2)
+        m2l = jnp.where(app, m2l - corr, m2l)
+
+        can3 = s2 + m2l <= mflimit
+        probe3 = s2 + m2l - 3
+
+        def srch(args):
+            ni, = args
+            return lazy_search(probe3, s2, m2l, ni)
+
+        def nos(args):
+            ni, = args
+            return m2l, jnp.int32(0), jnp.int32(0), ni
+
+        m3l, m3o, m3b, ni = jax.lax.cond(can3, srch, nos, (ni,))
+        s3 = probe3 - m3b
+        better3 = can3 & (m3l > m2l) & (m3o > 0)
+
+        # case A: no better third — emit m1 (trimmed to s2) then m2
+        # (lz4hc.c:1222-1239)
+        caseA = ~better3
+        m1lA = jnp.where(s2 < ip + m1l, s2 - ip, m1l)
+        op, pend = emit_one(op, pend, anchor, ip, m1o, m1lA, caseA)
+        anchorA = ip + m1lA
+        op, pend = emit_one(op, pend, anchorA, s2, m2o, m2l, caseA)
+        ipA = s2 + m2l
+
+        # case B: m3 too close (lz4hc.c:1242-1270)
+        nearB = better3 & (s3 < ip + m1l + 3)
+        b1 = nearB & (s3 >= ip + m1l)    # m2 removed, emit m1, m3->m1
+        overB1 = s2 < ip + m1l
+        corrB1 = ip + m1l - s2
+        s2b = jnp.where(overB1, s2 + corrB1, s2)
+        m2lb = jnp.where(overB1, m2l - corrB1, m2l)
+        degraded = m2lb < 4
+        s2b = jnp.where(degraded, s3, s2b)
+        m2lb = jnp.where(degraded, m3l, m2lb)
+        m2ob = jnp.where(degraded, m3o, m2o)
+        op, pend = emit_one(op, pend, anchor, ip, m1o, m1l, b1)
+        anchorB1 = ip + m1l
+        b2 = nearB & ~b1                 # m3 replaces m2, stay S3
+
+        # case C: three ascending matches — emit trimmed m1, shift
+        # (lz4hc.c:1277-1305)
+        caseC = better3 & ~nearB
+        overC = s2 < ip + m1l
+        closeC = (s2 - ip) < OPTIMAL_ML
+        m1lC0 = jnp.minimum(m1l, OPTIMAL_ML)
+        m1lC0 = jnp.where(ip + m1lC0 > s2 + m2l - 4,
+                          s2 - ip + m2l - 4, m1lC0)
+        corrC = m1lC0 - (s2 - ip)
+        appC = overC & closeC & (corrC > 0)
+        m1lC = jnp.where(overC,
+                         jnp.where(closeC, m1lC0, s2 - ip), m1l)
+        s2c = jnp.where(appC, s2 + corrC, s2)
+        m2lc = jnp.where(appC, m2l - corrC, m2l)
+        op, pend = emit_one(op, pend, anchor, ip, m1o, m1lC, caseC)
+        anchorC = ip + m1lC
+
+        # combine
+        state2 = jnp.where(caseA, jnp.int32(S_SCAN),
+                           jnp.where(b1, jnp.int32(S_S2),
+                                     jnp.int32(S_S3)))
+        ip2 = jnp.where(caseA, ipA,
+                        jnp.where(b1, s3,
+                                  jnp.where(b2, ip, s2c)))
+        anchor2 = jnp.where(caseA, ipA,
+                            jnp.where(b1, anchorB1,
+                                      jnp.where(caseC, anchorC,
+                                                anchor)))
+        m1l2 = jnp.where(b1, m3l, jnp.where(caseC, m2lc, m1l))
+        m1o2 = jnp.where(b1, m3o, jnp.where(caseC, m2o, m1o))
+        s0_2 = jnp.where(b1, s2b, s0)
+        m0l2 = jnp.where(b1, m2lb, m0l)
+        m0o2 = jnp.where(b1, m2ob, m0o)
+        s2_2 = jnp.where(b2 | caseC, s3, s2)
+        m2l2 = jnp.where(b2 | caseC, m3l, m2l)
+        m2o2 = jnp.where(b2 | caseC, m3o, m2o)
+        return (state2, ip2, anchor2, m1l2, m1o2, s0_2, m0l2, m0o2,
+                s2_2, m2l2, m2o2, ni, op, pend)
+
+    def machine(cy):
+        return jax.lax.switch(cy[0], (scan_arm, s2_arm, s3_arm), cy)
+
+    z = jnp.int32(0)
+    fin = jax.lax.while_loop(
+        lambda cy: cy[0] < 3, machine,
+        (jnp.int32(S_SCAN), z, z, z, z, z, z, z, z, z, z, z, z, z))
+    anchor, op, pend = fin[2], fin[12], fin[13]
 
     litlen = jnp.maximum(n - anchor, 0)
     op, pend = emit1(op, pend, jnp.minimum(litlen, 15) << 4)
@@ -402,8 +593,7 @@ def _encode_hc_raw(src32, lens, *, cap_n: int, level: int,
     lv = min(max(level, 0), 12)
     kern = functools.partial(
         _hc_kernel, n_words=n_words, w_out=w_out,
-        depth=int(K_DEPTH[lv]), suff=int(K_SUFF[lv]),
-        favor=int(bool(favor)))
+        depth=int(K_DEPTH[lv]), favor=int(bool(favor)))
     out_w, csizes, trailing = pl.pallas_call(
         kern,
         grid=(B,),

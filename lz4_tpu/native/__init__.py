@@ -114,6 +114,10 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.lz4t_compress_lazy.restype = ctypes.c_long
+    lib.lz4t_compress_lazy.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
+        ctypes.c_long, ctypes.c_int, ctypes.c_int]
     lib.lz4t_wave_split.restype = ctypes.c_long
     lib.lz4t_wave_split.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
@@ -275,6 +279,24 @@ class _BlockCodec:
         if r < 0:
             return None
         return arena[:r], plens[:r], pouts[:r]
+
+    def compress_lazy(self, data: bytes, tries: int,
+                      dict_prefix: bytes | None = None) -> bytes:
+        """The lazy hash-chain tier at an explicit search depth
+        (compress_lazy in hccodec.c — the byte-parity oracle for the
+        device HC kernel's state-machine parse)."""
+        from lz4_tpu.constants import compress_bound
+        data = bytes(data)
+        d = bytes(dict_prefix or b"")[-65535:]
+        buf = ctypes.create_string_buffer(d + data, len(d) + len(data))
+        src = ctypes.cast(ctypes.byref(buf, len(d)), ctypes.c_char_p)
+        cap = compress_bound(len(data))
+        dst = ctypes.create_string_buffer(cap)
+        n = self._lib.lz4t_compress_lazy(src, len(data), dst, cap,
+                                         len(d), tries, 0)
+        if n <= 0:
+            raise RuntimeError("native lazy compression failed")
+        return dst.raw[:n]
 
     WAVE_OUT = 1024
     WAVE_CAP = 1088

@@ -525,9 +525,12 @@ class TpuBackend:
         return results
 
     #: HC levels served by the Pallas chain kernel (encode_hc_pallas):
-    #: graded at/under the reference; 5+ grade up to 1.008x over (the
-    #: Search3/pattern-analysis remainder) and keep the host DP tier
-    PALLAS_HC_LEVELS = (3, 4)
+    #: the kernel's state-machine parse (Search2/Search3 + level-9
+    #: pattern analysis) is byte-identical to the host lazy tier and
+    #: transitively to the reference hashChain at every routed level
+    #: (tests/test_encode_hc_pallas.py byte-parity test) — the full
+    #: 3-9 ladder stays on device (round-3 verdict #4)
+    PALLAS_HC_LEVELS = (3, 4, 5, 6, 7, 8, 9)
 
     def _compress_hc_pallas(self, blocks, *, level, favor_dec_speed):
         """No-dict HC batch on the device chain kernel (64 KB tier)."""
@@ -559,8 +562,9 @@ class TpuBackend:
         if not blocks:
             return []
         # level 2 runs on device (the "mid" tier analog, lz4hc.c:476-773);
-        # levels 3-4 ride the Pallas chain kernel (no dict, 64 KB tier);
-        # deeper levels stay on the host DP parser (size-bar holder)
+        # levels 3-9 ride the Pallas chain kernel (no dict, 64 KB tier,
+        # byte-identical to the reference hashChain); 10-12 stay on the
+        # host DP parser (size-bar holder)
         device_hc = level == 2
         if level in self.PALLAS_HC_LEVELS and self._pallas_platform_ok() \
                 and self.pallas_encode and self.codec is None \

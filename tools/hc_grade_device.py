@@ -25,11 +25,15 @@ def main() -> None:
     ap.add_argument("--mb", type=int, default=2)
     ap.add_argument("--block", type=int, default=65536)
     ap.add_argument("--depths", default=None)
-    ap.add_argument("--suffs", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="grade in interpret mode on CPU (sizes are "
+                    "platform-independent)")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
 
     import jax
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_comp"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -50,12 +54,6 @@ def main() -> None:
         for lv, dd in zip(levels, d):
             kd[lv] = dd
         hc.K_DEPTH = tuple(kd)
-    if args.suffs:
-        sf = [int(x) for x in args.suffs.split(",")]
-        ks = list(hc.K_SUFF)
-        for lv, ss in zip(levels, sf):
-            ks[lv] = ss
-        hc.K_SUFF = tuple(ks)
 
     nb = args.mb * 1024 * 1024
     bs = args.block
@@ -92,7 +90,7 @@ def main() -> None:
                 lens[i] = len(bb)
             aj, lj = jnp.asarray(arr), jnp.asarray(lens)
             out, csz, _ = hc.encode_blocks_hc_pallas(
-                aj, lj, cap_n=bs, level=lv, interpret=False)
+                aj, lj, cap_n=bs, level=lv, interpret=args.cpu)
             csz_np = np.asarray(csz)
             out_np = np.asarray(out)
             # verify round trip on the first block
@@ -105,7 +103,7 @@ def main() -> None:
                 for _ in range(3):
                     t0 = time.perf_counter()
                     rs = [hc.encode_blocks_hc_pallas(
-                        aj, lj, cap_n=bs, level=lv, interpret=False)
+                        aj, lj, cap_n=bs, level=lv, interpret=args.cpu)
                         for _ in range(4)]
                     np.asarray(rs[-1][1][-1])
                     best = min(best, time.perf_counter() - t0)
