@@ -339,6 +339,64 @@ def main() -> None:
     except Exception as e:
         _log(f"host tier measurement skipped: {e}")
 
+    # 128-lane lockstep wavefront decode (block/decode_wave.py): the
+    # lane-parallel tier, measured on one 128x64KB batch — standard
+    # streams (far-law floor, tpu_perf_notes) and distance-capped
+    # wave-friendly streams (the favor-dec-speed trade, all matches in
+    # the cheap near window)
+    wave_mbs = wave_maxd_mbs = wave_maxd_ratio = None
+    try:
+        if jax.devices()[0].platform == "tpu" and n >= 128 * 65536:
+            from lz4_tpu import native
+            from lz4_tpu.block.decode_wave import (
+                RPP, WCAP, _wave_decode_raw, pack_warena)
+            bcn = native.blockcodec
+            wblocks = [data[i * 65536:(i + 1) * 65536]
+                       for i in range(128)]
+
+            def stage(comps):
+                arenas = np.zeros((128, 64, WCAP), np.uint8)
+                for i, c in enumerate(comps):
+                    r = bcn.wave_split(c, max_pieces=64, out_cap=65536)
+                    arena, _ = r
+                    arenas[i, : arena.shape[0]] = arena
+                return jnp.asarray(pack_warena(arenas))
+
+            def run_wave(wa):
+                nr = 64 * RPP
+                out0 = _wave_decode_raw(wa, n_rows=nr, interpret=False,
+                                        use_onehot=True)
+                np.asarray(out0[-1, -1])
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    rs = [_wave_decode_raw(wa, n_rows=nr,
+                                           interpret=False,
+                                           use_onehot=True)
+                          for _ in range(8)]
+                    np.asarray(rs[-1][-1, -1])
+                    best = min(best, (time.perf_counter() - t0
+                                      - 0.0245) / 8)
+                return 128 * 65536 / 1e6 / best, out0
+
+            wcomp = bcn.compress_batch(wblocks)
+            wave_mbs, out0 = run_wave(stage(wcomp))
+            wave_mbs = round(wave_mbs, 1)
+            flat = np.ascontiguousarray(np.asarray(out0).T) \
+                .astype("<u4").view(np.uint8).reshape(128, -1)
+            assert all(flat[i, : 65536].tobytes() == wblocks[i]
+                       for i in range(0, 128, 17)), "wave verify"
+            _log(f"wave decode (standard streams): {wave_mbs} MB/s")
+            mcomp = [bcn.compress_maxd(b, 2000) for b in wblocks]
+            wave_maxd_ratio = round(sum(map(len, mcomp))
+                                    / sum(map(len, wcomp)), 4)
+            wave_maxd_mbs, _ = run_wave(stage(mcomp))
+            wave_maxd_mbs = round(wave_maxd_mbs, 1)
+            _log(f"wave decode (2KB-capped streams): {wave_maxd_mbs} "
+                 f"MB/s at {wave_maxd_ratio}x the uncapped size")
+    except Exception as e:
+        _log(f"wave decode stage skipped: {e}")
+
     # per-sequence accounting (round-3 verdict #9: quantify "op-bound"
     # honestly): sequences counted by walking our encoder's streams;
     # cycles assume the v5e TensorCore's ~0.94 GHz clock
@@ -456,6 +514,9 @@ def main() -> None:
             "host_compress_MBs": host_mbs,
             "host_decompress_MBs": host_dec_mbs,
             "cli_decode_MBs": cli_dec_mbs,
+            "wave_decode_MBs": wave_mbs,
+            "wave_maxd2k_decode_MBs": wave_maxd_mbs,
+            "wave_maxd2k_size_vs_uncapped": wave_maxd_ratio,
             "decode_ns_per_seq": dec_ns_per_seq,
             "decode_cycles_per_seq": dec_cycles_per_seq,
             "ref_cli_samebox_compress_MBs": ref_cli_comp,

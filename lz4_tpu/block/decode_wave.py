@@ -233,13 +233,13 @@ def _wave_kernel(warena_ref, out_ref, cw_buf, cw_sem, *, n_rows: int,
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "interpret",
-                                             "use_onehot"))
+                                             "use_onehot", "near_rows"))
 def _wave_decode_raw(warena, *, n_rows: int, interpret: bool,
-                     use_onehot: bool):
+                     use_onehot: bool, near_rows: int = NEAR_ROWS):
     """warena int32 (NP*WCAPW + pad, 128) interleaved wave-comp words
     -> OUT int32 (n_rows, 128) interleaved output words."""
     kern = functools.partial(_wave_kernel, n_rows=n_rows,
-                             use_onehot=use_onehot)
+                             use_onehot=use_onehot, near_rows=near_rows)
     return pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
@@ -266,7 +266,8 @@ def pack_warena(arenas: np.ndarray) -> np.ndarray:
 
 def wave_decode_batch(arenas: np.ndarray, out_lens,
                       *, interpret: bool | None = None,
-                      use_onehot: bool | None = None) -> list[bytes]:
+                      use_onehot: bool | None = None,
+                      near_rows: int = NEAR_ROWS) -> list[bytes]:
     """Decode B <= 128 wave-split streams in one lockstep kernel call.
 
     arenas uint8 (B, NP, WCAP) from lz4t_wave_split, out_lens the
@@ -284,7 +285,8 @@ def wave_decode_batch(arenas: np.ndarray, out_lens,
     warena = jnp.asarray(pack_warena(arenas))
     out = _wave_decode_raw(warena, n_rows=n_rows,
                            interpret=bool(interpret),
-                           use_onehot=bool(use_onehot))
+                           use_onehot=bool(use_onehot),
+                           near_rows=int(near_rows))
     flat = np.ascontiguousarray(np.asarray(out).T).astype("<u4") \
         .view(np.uint8).reshape(LANES, n_rows * 4)
     return [flat[i, : out_lens[i]].tobytes() for i in range(B)]

@@ -114,6 +114,10 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.lz4t_compress_block_maxd.restype = ctypes.c_long
+    lib.lz4t_compress_block_maxd.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
+        ctypes.c_long, ctypes.c_int, ctypes.c_long]
     lib.lz4t_compress_lazy.restype = ctypes.c_long
     lib.lz4t_compress_lazy.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
@@ -279,6 +283,26 @@ class _BlockCodec:
         if r < 0:
             return None
         return arena[:r], plens[:r], pouts[:r]
+
+    def compress_maxd(self, data: bytes, max_dist: int,
+                      acceleration: int = 1,
+                      dict_prefix: bytes | None = None) -> bytes:
+        """Fast compression with match offsets capped at max_dist —
+        produces fully standard streams whose matches all land in the
+        wavefront decoder's cheap near window (decode_wave.py)."""
+        from lz4_tpu.constants import compress_bound
+        data = bytes(data)
+        d = bytes(dict_prefix or b"")[-65535:]
+        buf = ctypes.create_string_buffer(d + data, len(d) + len(data))
+        src = ctypes.cast(ctypes.byref(buf, len(d)), ctypes.c_char_p)
+        cap = compress_bound(len(data))
+        dst = ctypes.create_string_buffer(cap)
+        n = self._lib.lz4t_compress_block_maxd(
+            src, len(data), dst, cap, len(d), max(1, acceleration),
+            max_dist)
+        if n <= 0:
+            raise RuntimeError("native compression failed")
+        return dst.raw[:n]
 
     def compress_lazy(self, data: bytes, tries: int,
                       dict_prefix: bytes | None = None) -> bytes:

@@ -66,8 +66,9 @@ static uint8_t *emit_length(uint8_t *op, size_t len) {
 /* Compress src[0..n) given `dict_len` bytes of history immediately
  * before src (contiguous, usingDict prefix semantics). Returns the
  * compressed size, or 0 if dst_cap too small. */
-long lz4t_compress_block(const uint8_t *src, long n, uint8_t *dst,
-                         long dst_cap, long dict_len, int accel) {
+static long lz4t__compress_impl(const uint8_t *src, long n, uint8_t *dst,
+                                long dst_cap, long dict_len, int accel,
+                                long maxd) {
     uint32_t htab[HASH_SIZE];
     const uint8_t *base = src - dict_len;   /* position 0 in table coords */
     const uint8_t *ip = src, *anchor = src;
@@ -98,7 +99,7 @@ long lz4t_compress_block(const uint8_t *src, long n, uint8_t *dst,
             const uint8_t *cand = base + cpos;
             htab[h] = (uint32_t)(ip - base);
             if (cpos != 0xFFFFFFFFu && cand < ip &&
-                (long)(ip - cand) <= WINDOW && read32(cand) == read32(ip)) {
+                (long)(ip - cand) <= maxd && read32(cand) == read32(ip)) {
                 /* match: extend forward and backward */
                 size_t ml = MINMATCH +
                     match_len(ip + MINMATCH, cand + MINMATCH, matchlimit);
@@ -144,6 +145,27 @@ long lz4t_compress_block(const uint8_t *src, long n, uint8_t *dst,
         op += lit;
     }
     return (long)(op - dst);
+}
+
+long lz4t_compress_block(const uint8_t *src, long n, uint8_t *dst,
+                         long dst_cap, long dict_len, int accel) {
+    return lz4t__compress_impl(src, n, dst, dst_cap, dict_len, accel,
+                               WINDOW);
+}
+
+/* Distance-capped fast compression: identical format/parse, but match
+ * offsets are bounded by max_dist. Streams stay fully standard; a
+ * <= 2 KB cap keeps every match inside the wavefront decoder's cheap
+ * near window (the favor-dec-speed trade taken to its TPU conclusion
+ * — see decode_wave.py and the far-law note in tpu_perf_notes.md;
+ * reference precedent lz4hc.c:926-928). */
+long lz4t_compress_block_maxd(const uint8_t *src, long n, uint8_t *dst,
+                              long dst_cap, long dict_len, int accel,
+                              long max_dist) {
+    if (max_dist < 1) max_dist = 1;
+    if (max_dist > WINDOW) max_dist = WINDOW;
+    return lz4t__compress_impl(src, n, dst, dst_cap, dict_len, accel,
+                               max_dist);
 }
 
 /* Batch compression: nblocks independent blocks handed as a pointer

@@ -359,6 +359,12 @@ class TpuBackend:
         # "device" keeps the piece waves (device-resident pipelines,
         # bench's on-chip stage, interpret-mode coverage).
         self.decode_dest = os.environ.get("LZ4_TPU_DECODE_DEST", "auto")
+        # 128-lane lockstep wavefront decode tier (block/decode_wave.py):
+        # 477 MB/s on distance-capped streams, ~75 MB/s at the measured
+        # far-law floor on unconstrained real data (tpu_perf_notes) —
+        # opt-in until it robustly beats the serial kernel everywhere
+        self.wave_decode = bool(int(os.environ.get(
+            "LZ4_TPU_WAVE_DECODE", "0")))
         # no-dict fast-tier encode rides the Pallas serial kernel
         # (block/encode_pallas.py): 1.6-2x the sort/scan graphs on-chip,
         # second-scale compiles, real --fast support
@@ -680,10 +686,50 @@ class TpuBackend:
             res.append(whole)
         return res
 
+    def decompress_batch_wave(self, blocks, max_outs):
+        """No-dict <=64 KB-tier batch decode on the 128-lane lockstep
+        wavefront kernel: C wave re-layout (lz4t_wave_split) + one
+        lockstep kernel call per 128-lane group. Returns None when any
+        stream fails the splitter's strict validation (caller falls
+        back; the host decoder raises the canonical error)."""
+        from lz4_tpu import native
+        from lz4_tpu.block.decode_wave import WCAP, wave_decode_batch
+        try:
+            bc = native.blockcodec
+        except ImportError:
+            return None
+        NP = 64
+        res = []
+        interp = jax.devices()[0].platform == "cpu"
+        for g in range(0, len(blocks), 128):
+            grp = blocks[g: g + 128]
+            caps = max_outs[g: g + 128]
+            arenas = np.zeros((len(grp), NP, WCAP), np.uint8)
+            out_lens = []
+            for i, blk in enumerate(grp):
+                r = bc.wave_split(blk, max_pieces=NP, out_cap=caps[i])
+                if r is None:
+                    return None
+                arena, ol = r
+                arenas[i, : arena.shape[0]] = arena
+                out_lens.append(ol)
+            res.extend(wave_decode_batch(arenas, out_lens,
+                                         interpret=interp))
+        return res
+
     def decompress_batch(self, blocks, max_outs, *, dict_prefixes=None):
         if not blocks:
             return []
         mo = max(max_outs)
+        if (self.wave_decode and mo <= 65536
+                and (dict_prefixes is None or not any(dict_prefixes))
+                and self._pallas_platform_ok()):
+            out = self.decompress_batch_wave(blocks, max_outs)
+            if out is not None:
+                return out
+            # strict host decode surfaces the canonical error
+            return self._host().decompress_batch(
+                blocks, max_outs, dict_prefixes=dict_prefixes)
         # device decode graphs exist per frame tier (the parse helper
         # packs any cap_in < 8 MB); the gate is the compile-cost budget
         # (LZ4_TPU_MAX_DEVICE_BLOCK), not the format

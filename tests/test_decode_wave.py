@@ -96,3 +96,26 @@ def test_wave_kernel_full_lane_count():
     out = wave_decode_batch(arenas, out_lens, interpret=True)
     for i, s in enumerate(srcs):
         assert out[i] == s, f"lane {i} mismatch"
+
+
+def test_engine_wave_tier(monkeypatch):
+    """TpuBackend routes 64KB-tier no-dict decodes through the wave
+    kernel when LZ4_TPU_WAVE_DECODE=1, byte-identical to host, with
+    the canonical error on malformed streams."""
+    monkeypatch.setenv("LZ4_TPU_PALLAS_CPU", "1")
+    monkeypatch.setenv("LZ4_TPU_WAVE_DECODE", "1")
+    from lz4_tpu.block.ref_codec import BlockDecodeError
+    from lz4_tpu.parallel.engine import TpuBackend
+    be = TpuBackend()
+    srcs = [gen_text(40000 + 321 * i, seed=50 + i) for i in range(5)]
+    comps = [bc.compress(s) for s in srcs]
+    out = be.decompress_batch(comps, [len(s) for s in srcs])
+    assert out == srcs
+    # structural corruption (truncation): splitter rejects, the strict
+    # host decoder raises the canonical error (bit flips that keep the
+    # stream well-formed are the frame checksums' job, not the block
+    # decoder's)
+    bad = comps[0][: len(comps[0]) // 2]
+    with pytest.raises(BlockDecodeError):
+        be.decompress_batch([bad] + comps[1:],
+                            [len(s) for s in srcs])

@@ -57,6 +57,7 @@ def main() -> None:
     from lz4_tpu import native
     from lz4_tpu.block.decode_wave import (
         LANES, RPP, WCAP, _wave_decode_raw, pack_warena)
+    NEAR = int(os.environ.get("LZ4_TPU_WAVE_NEAR", "512"))
     from lz4_tpu.utils.realcorpus import real_corpus
 
     bc = native.blockcodec
@@ -66,7 +67,15 @@ def main() -> None:
     blocks = [data[i * BS:(i + 1) * BS] for i in range(LANES)]
 
     t0 = time.time()
-    comps = bc.compress_batch(blocks)
+    maxd = int(os.environ.get("LZ4_TPU_WAVE_MAXD", "0"))
+    if maxd:
+        comps = [bc.compress_maxd(b, maxd) for b in blocks]
+        ref = bc.compress_batch(blocks)
+        log(event="maxd_ratio", maxd=maxd,
+            size_vs_uncapped=round(sum(map(len, comps))
+                                   / sum(map(len, ref)), 4))
+    else:
+        comps = bc.compress_batch(blocks)
     arenas = np.zeros((LANES, NP, WCAP), np.uint8)
     out_lens = []
     for i, c in enumerate(comps):
@@ -87,7 +96,7 @@ def main() -> None:
 
     t0 = time.time()
     out = _wave_decode_raw(warena, n_rows=n_rows, interpret=on_cpu,
-                           use_onehot=True)
+                           use_onehot=True, near_rows=NEAR)
     _ = np.asarray(out[-1, -1])
     log(event="compile_plus_first_run", s=round(time.time() - t0, 1))
 
@@ -102,7 +111,8 @@ def main() -> None:
     for _ in range(3):
         t0 = time.perf_counter()
         rs = [_wave_decode_raw(warena, n_rows=n_rows, interpret=on_cpu,
-                               use_onehot=True) for _ in range(ASYNC_N)]
+                               use_onehot=True, near_rows=NEAR)
+              for _ in range(ASYNC_N)]
         _ = np.asarray(rs[-1][-1, -1])
         dt = (time.perf_counter() - t0 - RTT) / ASYNC_N
         best = min(best, dt)
