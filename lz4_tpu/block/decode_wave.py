@@ -71,7 +71,7 @@ def _fetch_rows(win, idx, n, use_onehot):
     W = win.shape[0]
     if not use_onehot:
         return jnp.take_along_axis(win, jnp.clip(idx, 0, W - 1), axis=0)
-    rows = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1 if False else 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, win.shape, 0)
     outs = []
     for i in range(n):
         oh = rows == idx[i: i + 1, :]
