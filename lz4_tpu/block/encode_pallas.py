@@ -53,7 +53,7 @@ SKIP_TRIGGER = 6
 
 def _encode_kernel(len_ref, dlen_ref, accel_ref, src_ref, out_ref,
                    csize_ref, trail_ref, table, *, n_words: int,
-                   w_out: int, d0: int, dict_stride: int = 1):
+                   w_out: int, d0: int, dict_stride: int = 1, max_dist: int = 65535):
     """One block per grid step. src_ref: (1, 1, n_words) int32 SMEM
     (bytes packed 4/word LE) laid out as [d0 history bytes | block];
     out_ref: (1, 1, w_out) int32 SMEM; csize/trail: SMEM scalars;
@@ -224,7 +224,7 @@ def _encode_kernel(len_ref, dlen_ref, accel_ref, src_ref, out_ref,
             cand0 = e0 & 0x3FFFF
             hit0 = ((jax.lax.shift_right_logical(e0, 26) == bt)
                     & (cand0 < sp) & (cand0 >= low)
-                    & (sp - cand0 <= 65535) & (read4(cand0) == seq0))
+                    & (sp - cand0 <= max_dist) & (read4(cand0) == seq0))
             seq1 = read4(sp1c)
             h1 = hash4(seq1)
             e1 = table[h1]
@@ -235,7 +235,7 @@ def _encode_kernel(len_ref, dlen_ref, accel_ref, src_ref, out_ref,
             hit1 = (~hit0 & (sp1 <= mflimit)
                     & (jax.lax.shift_right_logical(e1, 26) == bt)
                     & (cand1 < sp1) & (cand1 >= low)
-                    & (sp1 - cand1 <= 65535) & (read4(cand1) == seq1))
+                    & (sp1 - cand1 <= max_dist) & (read4(cand1) == seq1))
             hit = hit0 | hit1
             padv = sp1 + jax.lax.shift_right_logical(ssr + 1,
                                                      SKIP_TRIGGER)
@@ -307,16 +307,19 @@ def _encode_kernel(len_ref, dlen_ref, accel_ref, src_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("cap_n", "interpret",
-                                             "d0", "dict_stride"))
+                                             "d0", "dict_stride",
+                                             "max_dist"))
 def _encode_pallas_raw(src32, lens, dlens, accel, *, cap_n: int,
-                       interpret: bool, d0: int, dict_stride: int):
+                       interpret: bool, d0: int, dict_stride: int,
+                       max_dist: int = 65535):
     B, _, n_words = src32.shape
     bound = compress_bound(cap_n)
     w_out = -(-(bound + 4) // 4)
     w_out += (-w_out) % 128
     kern = functools.partial(_encode_kernel, n_words=n_words,
                              w_out=w_out, d0=d0,
-                             dict_stride=dict_stride)
+                             dict_stride=dict_stride,
+                             max_dist=max_dist)
     out_w, csizes, trailing = pl.pallas_call(
         kern,
         grid=(B,),
@@ -363,7 +366,8 @@ def _pack_words(bytes2d, n_words):
 def encode_blocks_pallas(src, lens, dict_bufs=None, dict_lens=None, *,
                          cap_n: int, acceleration: int = 1,
                          interpret: bool | None = None,
-                         dict_stride: int = 3):
+                         dict_stride: int = 3,
+                         max_dist: int = 65535):
     """Batched block encode on the serial-kernel path.
 
     Same contract as encode_jax.encode_blocks:
@@ -393,6 +397,10 @@ def encode_blocks_pallas(src, lens, dict_bufs=None, dict_lens=None, *,
     words = _pack_words(full, n_words)
     # reference acceleration range (lz4.c:52-58), runtime scalar
     acc = jnp.asarray([min(max(int(acceleration), 1), 65537)], jnp.int32)
+    # max_dist < 65535 caps match offsets (wave-friendly streams whose
+    # matches all land in the lockstep decoder's near window — the
+    # device side of lz4t_compress_block_maxd; standard format either way)
     return _encode_pallas_raw(words, lens, dlens, acc, cap_n=cap_n,
                               interpret=bool(interpret), d0=d0,
-                              dict_stride=int(dict_stride))
+                              dict_stride=int(dict_stride),
+                              max_dist=int(max_dist))

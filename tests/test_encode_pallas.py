@@ -119,3 +119,46 @@ def test_dict_linked_roundtrip():
         out0, cs0, _ = encode_blocks_pallas(
             jnp.asarray(s), jnp.asarray([n2], np.int32), cap_n=cap)
         assert int(np.asarray(cs)[0]) < int(np.asarray(cs0)[0])
+
+
+def test_encode_pallas_max_dist():
+    """max_dist caps every emitted offset (the wave-friendly device
+    encode mode); streams stay standard and round-trip."""
+    import numpy as np
+
+    from lz4_tpu.block.ref_codec import decompress_block
+    from lz4_tpu.utils.datagen import gen_text
+    srcs = [gen_text(30000, seed=71), b"z" * 20000 + gen_text(10000, seed=72)]
+    cap = max(len(s) for s in srcs)
+    arr = np.zeros((len(srcs), cap), np.uint8)
+    lens = np.zeros(len(srcs), np.int32)
+    for i, s in enumerate(srcs):
+        arr[i, : len(s)] = np.frombuffer(s, np.uint8)
+        lens[i] = len(s)
+    out, csz, _ = encode_blocks_pallas(
+        jnp.asarray(arr), jnp.asarray(lens), cap_n=cap,
+        interpret=True, max_dist=2000)
+    out, csz = np.asarray(out), np.asarray(csz)
+    for i, s in enumerate(srcs):
+        blk = out[i, : csz[i]].tobytes()
+        assert decompress_block(blk, len(s)) == s
+        # walk the stream: every offset <= 2000
+        p = 0
+        opos = 0
+        while p < len(blk):
+            tok = blk[p]; p += 1
+            ll = tok >> 4
+            if ll == 15:
+                while blk[p] == 255:
+                    ll += 255; p += 1
+                ll += blk[p]; p += 1
+            p += ll; opos += ll
+            if p >= len(blk):
+                break
+            off = blk[p] | (blk[p + 1] << 8); p += 2
+            assert 1 <= off <= 2000, off
+            ml = tok & 15
+            if ml == 15:
+                while blk[p] == 255:
+                    p += 1
+                p += 1
