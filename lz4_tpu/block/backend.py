@@ -106,11 +106,21 @@ class HostBackend:
         return batch_fn(blocks, *extra)
 
     def compress_batch(self, blocks, *, level=0, acceleration=1,
-                       dict_prefixes=None, favor_dec_speed=False):
+                       dict_prefixes=None, favor_dec_speed=False,
+                       max_dist=65535):
         from lz4_tpu.block.ref_codec import compress_block
         from lz4_tpu.hc.codec import compress_block_hc
 
         no_dicts = not dict_prefixes or not any(dict_prefixes)
+        if max_dist < 65535 and level < 2 and self._native is not None:
+            # distance-capped fast mode (wave-friendly streams;
+            # lz4t_compress_block_maxd) — fast tier only
+            return self._map(
+                lambda ib: self._native.compress_maxd(
+                    ib[1], max_dist, acceleration=max(1, acceleration),
+                    dict_prefix=(dict_prefixes[ib[0]]
+                                 if dict_prefixes else None)),
+                list(enumerate(blocks)))
         if (level < 2 and no_dicts and self._native is not None
                 and len(blocks) > 1):
             # one C call per worker range: pointer-array batch path

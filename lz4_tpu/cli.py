@@ -209,6 +209,14 @@ def main(argv: list[str] | None = None) -> int:
                 prefs.block_checksum = False
             elif opt == "favor-decSpeed":
                 prefs.favor_dec_speed = True
+            elif opt.startswith("max-dist="):
+                # extension: cap match offsets (wave-friendly streams
+                # for the 128-lane lockstep device decoder; the
+                # favor-decSpeed trade taken further; standard format)
+                v = int(opt[9:])
+                if not 1 <= v <= 65535:
+                    raise CliError(f"invalid --max-dist {v}")
+                prefs.max_dist = v
             elif opt == "fast" or opt.startswith("fast="):
                 mode = "compress" if mode == "auto" else mode
                 prefs.level = 1

@@ -138,10 +138,13 @@ class FrameCompressor:
 
     def __init__(self, prefs: Preferences | None = None, *, level: int = 0,
                  acceleration: int = 1, cdict: CDict | None = None,
-                 backend: BlockBackend | None = None):
+                 backend: BlockBackend | None = None,
+                 max_dist: int = 65535):
         self.prefs = prefs or Preferences()
         self.level = level
         self.acceleration = acceleration
+        # match-offset cap (wave-friendly streams; standard format)
+        self.max_dist = max_dist
         if level < 0:
             self.acceleration = max(acceleration, -level)
             self.level = 0
@@ -181,10 +184,13 @@ class FrameCompressor:
             prefixes.append(self._current_prefix())
             self._advance_history(raw)
         if blocks:
+            kw = {}
+            if self.max_dist < 65535:
+                kw["max_dist"] = self.max_dist
             comp = self.backend.compress_batch(
                 blocks, level=self.level, acceleration=self.acceleration,
                 dict_prefixes=prefixes,
-                favor_dec_speed=self.prefs.favor_dec_speed)
+                favor_dec_speed=self.prefs.favor_dec_speed, **kw)
             for raw, c in zip(blocks, comp):
                 out += _write_block(raw, c, self._info)
         if self.prefs.auto_flush:
@@ -240,10 +246,13 @@ class FrameCompressor:
         self._buf.clear()
         prefix = self._current_prefix()
         self._advance_history(raw)
+        kw = {}
+        if self.max_dist < 65535:
+            kw["max_dist"] = self.max_dist
         comp = self.backend.compress_batch(
             [raw], level=self.level, acceleration=self.acceleration,
             dict_prefixes=[prefix],
-            favor_dec_speed=self.prefs.favor_dec_speed)[0]
+            favor_dec_speed=self.prefs.favor_dec_speed, **kw)[0]
         return bytes(_write_block(raw, comp, self._info))
 
     def end(self) -> bytes:

@@ -69,6 +69,10 @@ class IoPrefs:
     sparse_file_support: bool = True
     content_size_flag: bool = False
     favor_dec_speed: bool = False
+    # match-offset cap for the fast tier (wave-friendly streams whose
+    # matches all land in the lockstep decoder's near window; standard
+    # format; 65535 = no cap). CLI: --max-dist=#
+    max_dist: int = 65535
     bench_seconds: float = 3.0     # -i# (bench.c g_nbSeconds analog)
     dictionary_filename: str | None = None
     remove_src_file: bool = False
@@ -205,7 +209,8 @@ def compress_file(src_path: str, dst_path: str | None,
                                  block_size=prefs.block_custom_size)
             comp = FrameCompressor(fprefs, level=prefs.level,
                                    acceleration=prefs.acceleration,
-                                   cdict=cdict, backend=backend)
+                                   cdict=cdict, backend=backend,
+                                   max_dist=prefs.max_dist)
             hdr = comp.begin()
             fout.write(hdr)
             total_out += len(hdr)

@@ -564,9 +564,23 @@ class TpuBackend:
         return [out[i, : csizes[i]].tobytes() for i in range(len(blocks))]
 
     def compress_batch(self, blocks, *, level=0, acceleration=1,
-                       dict_prefixes=None, favor_dec_speed=False):
+                       dict_prefixes=None, favor_dec_speed=False,
+                       max_dist=65535):
         if not blocks:
             return []
+        if max_dist < 65535:
+            # distance-capped fast mode (wave-friendly streams): the
+            # Pallas fast kernel takes max_dist as a static knob
+            if (level < 2 and self._pallas_platform_ok()
+                    and self.pallas_encode and self.codec is None
+                    and (dict_prefixes is None or not any(dict_prefixes))
+                    and max(len(b) for b in blocks) <= 65536):
+                return self._compress_pallas_maxd(
+                    blocks, acceleration=acceleration, max_dist=max_dist)
+            return self._host().compress_batch(
+                blocks, level=level, acceleration=acceleration,
+                dict_prefixes=dict_prefixes,
+                favor_dec_speed=favor_dec_speed, max_dist=max_dist)
         # level 2 runs on device (the "mid" tier analog, lz4hc.c:476-773);
         # levels 3-9 ride the Pallas chain kernel (no dict, 64 KB tier,
         # byte-identical to the reference hashChain); 10-12 stay on the
@@ -685,6 +699,24 @@ class TpuBackend:
                     f"{max_outs[i]}")
             res.append(whole)
         return res
+
+    def _compress_pallas_maxd(self, blocks, *, acceleration, max_dist):
+        from lz4_tpu.block.encode_pallas import encode_blocks_pallas
+        cap_n = _pad_cap(max(len(b) for b in blocks))
+        B = self._round_batch(len(blocks))
+        src = np.zeros((B, cap_n), np.uint8)
+        lens = np.zeros(B, np.int32)
+        for i, blk in enumerate(blocks):
+            src[i, : len(blk)] = np.frombuffer(blk, np.uint8)
+            lens[i] = len(blk)
+        interp = jax.devices()[0].platform == "cpu"
+        out, csizes, _ = encode_blocks_pallas(
+            jnp.asarray(src), jnp.asarray(lens), cap_n=cap_n,
+            acceleration=acceleration, interpret=interp,
+            max_dist=int(max_dist))
+        out = np.asarray(out)
+        csizes = np.asarray(csizes)
+        return [out[i, : csizes[i]].tobytes() for i in range(len(blocks))]
 
     def decompress_batch_wave(self, blocks, max_outs):
         """No-dict <=64 KB-tier batch decode on the 128-lane lockstep

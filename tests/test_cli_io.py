@@ -283,3 +283,38 @@ def test_custom_block_size_interop(tmp_path):
     out = tmp_path / "b.out"
     assert run_cli("-d", "-f", refz, out) == 0
     assert out.read_bytes() == src.read_bytes()
+
+
+def test_max_dist_mode(tmp_path):
+    """--max-dist=# caps every match offset in the emitted frame (the
+    wave-friendly fast mode); output stays standard and round-trips
+    through the plain decoder."""
+    src = tmp_path / "w.bin"
+    src.write_bytes(mixed_corpus(200_000, seed=91))
+    capped = tmp_path / "w.lz4"
+    assert run_cli("-f", "--max-dist=2000", "-B4", src, capped) == 0
+    out = tmp_path / "w.out"
+    assert run_cli("-d", "-f", capped, out) == 0
+    assert out.read_bytes() == src.read_bytes()
+    # walk every block: offsets <= 2000
+    from lz4_tpu.block.ref_codec import decompress_block
+    for csize, stored, payload in _walk_frame_blocks(capped):
+        if stored:
+            continue
+        p = 0
+        while p < len(payload):
+            tok = payload[p]; p += 1
+            ll = tok >> 4
+            if ll == 15:
+                while payload[p] == 255:
+                    ll += 255; p += 1
+                ll += payload[p]; p += 1
+            p += ll
+            if p >= len(payload):
+                break
+            off = payload[p] | (payload[p + 1] << 8); p += 2
+            assert 1 <= off <= 2000
+            if (tok & 15) == 15:
+                while payload[p] == 255:
+                    p += 1
+                p += 1
