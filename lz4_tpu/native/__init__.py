@@ -122,6 +122,11 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.lz4t_compress_lazy.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
         ctypes.c_long, ctypes.c_int, ctypes.c_int]
+    lib.lz4t_wave_split_batch.restype = ctypes.c_long
+    lib.lz4t_wave_split_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
     lib.lz4t_wave_split.restype = ctypes.c_long
     lib.lz4t_wave_split.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
@@ -324,6 +329,30 @@ class _BlockCodec:
 
     WAVE_OUT = 1024
     WAVE_CAP = 1088
+
+    def wave_split_batch(self, comps, *, max_pieces: int = 64,
+                         out_caps=None):
+        """Batch wave re-layout in ONE C call (GIL released):
+        returns (arenas uint8[n, max_pieces, 1088], out_lens int32[n])
+        or None when any stream is malformed (caller falls back)."""
+        import numpy as np
+        n = len(comps)
+        comps = [bytes(c) for c in comps]
+        arenas = np.zeros((n, max_pieces, self.WAVE_CAP), np.uint8)
+        lens = np.asarray([len(c) for c in comps], np.int32)
+        caps = np.asarray(out_caps if out_caps is not None
+                          else [max_pieces * self.WAVE_OUT] * n,
+                          np.int32)
+        out_lens = np.zeros(n, np.int32)
+        ptrs = (ctypes.c_char_p * n)(*comps)
+        r = self._lib.lz4t_wave_split_batch(
+            ptrs, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n, arenas.ctypes.data_as(ctypes.c_void_p), max_pieces,
+            caps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if r != 0:
+            return None
+        return arenas, out_lens
 
     def wave_split(self, comp: bytes, *, max_pieces: int = 64,
                    out_cap: int = 65536, hist_len: int = 0):

@@ -953,3 +953,21 @@ long lz4t_wave_split(const uint8_t *src, long n, uint8_t *dst,
 #undef LZ4T_WAVE_ADVANCE
 #undef LZ4T_WAVE_ROOM
 }
+
+/* Batch wave re-layout: n streams into one arena array (n slots of
+ * max_pieces*LZ4T_WAVE_CAP bytes each, caller-zeroed). One C call per
+ * batch (the GIL is released for the whole pass). Returns 0, or
+ * -(i+1) when stream i is malformed/overflows. */
+long lz4t_wave_split_batch(const uint8_t **srcs, const int32_t *lens,
+                           long n, uint8_t *arenas, long max_pieces,
+                           const int32_t *out_caps, int32_t *out_lens) {
+    long i;
+    long stride = max_pieces * LZ4T_WAVE_CAP;
+    for (i = 0; i < n; i++) {
+        long r = lz4t_wave_split(srcs[i], lens[i], arenas + i * stride,
+                                 max_pieces, out_caps[i], 0,
+                                 out_lens + i);
+        if (r < 0) return -(i + 1);
+    }
+    return 0;
+}

@@ -735,17 +735,12 @@ class TpuBackend:
         interp = jax.devices()[0].platform == "cpu"
         for g in range(0, len(blocks), 128):
             grp = blocks[g: g + 128]
-            caps = max_outs[g: g + 128]
-            arenas = np.zeros((len(grp), NP, WCAP), np.uint8)
-            out_lens = []
-            for i, blk in enumerate(grp):
-                r = bc.wave_split(blk, max_pieces=NP, out_cap=caps[i])
-                if r is None:
-                    return None
-                arena, ol = r
-                arenas[i, : arena.shape[0]] = arena
-                out_lens.append(ol)
-            res.extend(wave_decode_batch(arenas, out_lens,
+            caps = list(max_outs[g: g + 128])
+            r = bc.wave_split_batch(grp, max_pieces=NP, out_caps=caps)
+            if r is None:
+                return None
+            arenas, out_lens = r
+            res.extend(wave_decode_batch(arenas, list(out_lens),
                                          interpret=interp))
         return res
 
