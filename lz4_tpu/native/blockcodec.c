@@ -857,6 +857,7 @@ long lz4t_wave_split(const uint8_t *src, long n, uint8_t *dst,
     long og = 0;
     uint8_t *op = dst;
     long slot = 0;
+    int ended = 0;   /* saw the final literal-only sequence */
 
     if (n <= 0 || max_pieces < 1) return -1;
 
@@ -927,7 +928,7 @@ long lz4t_wave_split(const uint8_t *src, long n, uint8_t *dst,
             lp += l; L -= l; og += l;
             LZ4T_WAVE_ADVANCE();
         }
-        if (ML == 0) break;               /* block tail emitted above */
+        if (ML == 0) { ended = 1; break; } /* block tail emitted above */
 
         mrem = ML;
         first = 1;
@@ -948,6 +949,10 @@ long lz4t_wave_split(const uint8_t *src, long n, uint8_t *dst,
             LZ4T_WAVE_ADVANCE();
         }
     }
+    /* the format requires the LAST sequence to be literal-only
+     * (doc/lz4_Block_format.md:110-129): a stream that ends right
+     * after a match never took the tail branch above */
+    if (!ended) return -1;
     *out_len = (int32_t)og;
     return og ? (og + LZ4T_WAVE_OUT - 1) / LZ4T_WAVE_OUT : -1;
 #undef LZ4T_WAVE_ADVANCE

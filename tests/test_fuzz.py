@@ -181,6 +181,6 @@ def test_torture_short():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proc = subprocess.run(
         [sys.executable, os.path.join(root, "tools", "torture.py"),
-         "--no-device", "--seconds", "25"],
+         "--no-device", "--wave", "--seconds", "25"],
         capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]

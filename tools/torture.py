@@ -29,6 +29,11 @@ def main() -> int:
                     help="force the JAX device codec onto CPU")
     ap.add_argument("--no-device", action="store_true",
                     help="skip the JAX codec (C/oracle only, much faster)")
+    ap.add_argument("--wave", action="store_true",
+                    help="cross-check the 128-lane lockstep wave "
+                         "decoder (wave_split + decode_wave) on "
+                         "no-dict streams <= 8 KB against the host "
+                         "decoder and liblz4")
     ap.add_argument("--pallas", action="store_true",
                     help="route the device codec through the Pallas "
                          "serial kernels (the production single-chip "
@@ -135,6 +140,23 @@ def main() -> int:
         except BlockDecodeError:
             return None
 
+    wave_np = 8          # fixed shape: one interpret compile
+
+    def wave_decode(comp, cap):
+        """None when the splitter rejects; decoded bytes otherwise."""
+        import numpy as _np
+
+        from lz4_tpu import native as _native
+        from lz4_tpu.block.decode_wave import WCAP, wave_decode_batch
+        bc = _native.blockcodec
+        r = bc.wave_split(comp, max_pieces=wave_np, out_cap=cap)
+        if r is None:
+            return None
+        arena, ol = r
+        arenas = _np.zeros((1, wave_np, WCAP), _np.uint8)
+        arenas[0, : arena.shape[0]] = arena
+        return wave_decode_batch(arenas, [ol])[0]
+
     def ref_decode(comp, cap, d):
         try:
             return ref_oracle.ref_decompress_block(comp, cap,
@@ -189,6 +211,9 @@ def main() -> int:
             if not args.no_device and r.random() < 0.3:
                 dv = our_dev_decode(comp, cap, d)
                 assert dv == raw, f"device decode mismatch (seed {cseed})"
+            if args.wave and d is None and 0 < len(raw) <= 8192:
+                wv = wave_decode(comp, len(raw))
+                assert wv == raw, f"wave decode mismatch (seed {cseed})"
 
             # --- differential decode of a MUTATED stream -------------
             if len(comp) > 4 and oracle:
@@ -209,6 +234,15 @@ def main() -> int:
                     f"we accept what liblz4 rejects (seed {cseed})"
                 if a is not None and b is not None:
                     assert a == b, f"mutated-decode divergence ({cseed})"
+                if args.wave and d is None and 0 < cap <= 8192:
+                    w2 = wave_decode(m, cap)
+                    # the splitter holds the strict host contract: it
+                    # must reject whatever the host rejects, and agree
+                    # byte-for-byte whenever both accept
+                    assert not (w2 is not None and a is None), \
+                        f"wave accepts what host rejects (seed {cseed})"
+                    if w2 is not None and a is not None:
+                        assert w2 == a, f"wave/host divergence ({cseed})"
                 if not args.no_device and r.random() < 0.25:
                     c2 = our_dev_decode(m, cap, d)
                     # our two decoders must agree exactly with each other
