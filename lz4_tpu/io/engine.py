@@ -263,26 +263,45 @@ class SparseWriter:
         self.enabled = enabled and f.seekable() and f is not sys.stdout.buffer
         self._pending = 0     # bytes of zeros not yet materialized
 
+    GRAN = 4096
+
     def write(self, data: bytes) -> None:
         if not self.enabled:
             self.f.write(data)
             return
+        import numpy as np
         view = memoryview(data)
-        GRAN = 4096
-        ZEROS = b"\x00" * GRAN
-        i = 0
         n = len(view)
-        while i < n:
-            j = min(i + GRAN, n)
-            seg = view[i:j]
-            if seg == ZEROS[: j - i]:        # wholly zero segment
-                self._pending += len(seg)
+        GRAN = self.GRAN
+        npages = n // GRAN
+        # vectorized zero-page detection + run coalescing: one write
+        # per contiguous non-zero run instead of one per 4 KB page
+        if npages:
+            pages = np.frombuffer(view[: npages * GRAN], np.uint8) \
+                .reshape(npages, GRAN)
+            nz = pages.any(axis=1)
+            edges = np.flatnonzero(np.diff(
+                np.concatenate(([False], nz, [False])).astype(np.int8)))
+            pos = 0
+            for a, b in zip(edges[::2], edges[1::2]):
+                gap = int(a) * GRAN - pos
+                if gap:
+                    self._pending += gap
+                if self._pending:
+                    self.f.seek(self._pending, os.SEEK_CUR)
+                    self._pending = 0
+                self.f.write(view[int(a) * GRAN: int(b) * GRAN])
+                pos = int(b) * GRAN
+            self._pending += npages * GRAN - pos
+        tail = view[npages * GRAN:]
+        if tail:
+            if bytes(tail).count(0) == len(tail):
+                self._pending += len(tail)
             else:
                 if self._pending:
                     self.f.seek(self._pending, os.SEEK_CUR)
                     self._pending = 0
-                self.f.write(seg)
-            i = j
+                self.f.write(tail)
 
     def close(self) -> None:
         if self.enabled and self._pending:
