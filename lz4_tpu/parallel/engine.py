@@ -730,7 +730,12 @@ class TpuBackend:
             bc = native.blockcodec
         except ImportError:
             return None
-        NP = 64
+        # shape family {4, 16, 64} pieces: small-block batches skip
+        # the 64 KB tier's 16384-row loop (one compiled kernel per NP)
+        need = -(-max(max_outs) // 1024)
+        NP = 4
+        while NP < need:
+            NP *= 4
         res = []
         interp = jax.devices()[0].platform == "cpu"
         for g in range(0, len(blocks), 128):

@@ -119,3 +119,16 @@ def test_engine_wave_tier(monkeypatch):
     with pytest.raises(BlockDecodeError):
         be.decompress_batch([bad] + comps[1:],
                             [len(s) for s in srcs])
+
+
+def test_engine_wave_small_tier(monkeypatch):
+    """Small-block batches ride the NP=4 shape (4 KB pieces), not the
+    64 KB tier's full row loop."""
+    monkeypatch.setenv("LZ4_TPU_PALLAS_CPU", "1")
+    monkeypatch.setenv("LZ4_TPU_WAVE_DECODE", "1")
+    from lz4_tpu.parallel.engine import TpuBackend
+    be = TpuBackend()
+    srcs = [gen_text(3000 + 100 * i, seed=70 + i) for i in range(6)]
+    comps = [bc.compress(s) for s in srcs]
+    out = be.decompress_batch(comps, [len(s) for s in srcs])
+    assert out == srcs
