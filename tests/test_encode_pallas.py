@@ -162,3 +162,34 @@ def test_encode_pallas_max_dist():
                 while blk[p] == 255:
                     p += 1
                 p += 1
+
+
+def test_engine_max_dist_route(monkeypatch):
+    """TpuBackend.compress_batch(max_dist=...) routes the fast tier
+    through the Pallas max_dist kernel; offsets verified."""
+    monkeypatch.setenv("LZ4_TPU_PALLAS_CPU", "1")
+    from lz4_tpu.block.ref_codec import decompress_block
+    from lz4_tpu.parallel.engine import TpuBackend
+    from lz4_tpu.utils.datagen import gen_text
+    be = TpuBackend()
+    srcs = [gen_text(30000, seed=81), gen_text(20000, seed=82)]
+    comps = be.compress_batch(srcs, level=1, max_dist=2000)
+    for s, blk in zip(srcs, comps):
+        assert decompress_block(blk, len(s)) == s
+        p = 0
+        while p < len(blk):
+            tok = blk[p]; p += 1
+            ll = tok >> 4
+            if ll == 15:
+                while blk[p] == 255:
+                    ll += 255; p += 1
+                ll += blk[p]; p += 1
+            p += ll
+            if p >= len(blk):
+                break
+            off = blk[p] | (blk[p + 1] << 8); p += 2
+            assert 1 <= off <= 2000
+            if (tok & 15) == 15:
+                while blk[p] == 255:
+                    p += 1
+                p += 1
