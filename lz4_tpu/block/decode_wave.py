@@ -80,7 +80,8 @@ def _fetch_rows(win, idx, n, use_onehot):
 
 
 def _wave_kernel(warena_ref, out_ref, cw_buf, cw_sem, *, n_rows: int,
-                 use_onehot: bool, near_rows: int = NEAR_ROWS):
+                 use_onehot: bool, near_rows: int = NEAR_ROWS,
+                 byte_phase: bool = False):
     """warena_ref lives in HBM (the full arena + OUT would exceed
     VMEM); the current piece's fixed (WCAPW, 128) window is
     double-buffered into cw_buf by async DMA — the deterministic
@@ -152,24 +153,14 @@ def _wave_kernel(warena_ref, out_ref, cw_buf, cw_sem, *, n_rows: int,
         fill = zero
         opos_row = 4 * q
 
-        def match_bytes_pair(src0, far_any):
-            """Fetch the word pair covering bytes src0..src0+3 of OUT
-            (absolute byte addresses < 4q+4; bytes >= 4q resolve from
-            acc at the select site). Far sources escape to a full-OUT
-            gather."""
-            sw = src0 >> 2
-            idx2 = jnp.concatenate([sw - s0, sw + 1 - s0], 0)
-            pair_near = _fetch_rows(ow, idx2, 2, use_onehot)
-
-            def far(_):
-                idx2f = jnp.concatenate([sw, sw + 1], 0)
-                full = out_ref[pl.ds(0, n_rows), :]
-                pf = _fetch_rows(full, idx2f, 2, use_onehot)
-                near_ok = jnp.broadcast_to(sw >= s0, (2, LANES))
-                return jnp.where(near_ok, pair_near, pf)
-
-            return jax.lax.cond(far_any, far, lambda _: pair_near, 0)
-
+        # ---- phase 1: four control slots. Parse + literal placement
+        # happen inline (they only touch the comp lookahead); match
+        # production is CONTROL-ONLY — each slot records its byte
+        # interval [m_fill, m_fill+t2) and source base, and the match
+        # values are gathered once per OUTPUT BYTE in phase 2. This
+        # halves the gather words per row (<= 4 single-word fetches vs
+        # the per-slot word pairs of the v1 kernel).
+        m_fills, m_t2s, m_src0s = [], [], []
         for _slot in range(4):
             # -- token parse (sequence start)
             need_tok = (lr == 0) & (pmn == 0) & (mr == 0)
@@ -201,28 +192,84 @@ def _wave_kernel(warena_ref, out_ref, cw_buf, cw_sem, *, n_rows: int,
             c = jnp.where(need_mh, c + 2 + mx.astype(jnp.int32), c)
             pmn = jnp.where(need_mh, 0, pmn)
 
-            # -- match production (byte-granular; overlap reads land in
-            # acc, the vector analog of lz4.c:2406-2418)
+            # -- match production / control
             t2 = jnp.minimum(mr, 4 - fill)
             src0 = opos_row + fill - off
-            far_any = jnp.any((t2 > 0) & ((src0 >> 2) < s0))
-            pair = match_bytes_pair(src0, far_any)
-            sw0 = src0 >> 2
-            for b in range(4):
-                srcb = src0 + b
-                wsel = jnp.where((srcb >> 2) == sw0, pair[0:1, :],
-                                 pair[1:2, :])
-                mb = jax.lax.shift_right_logical(
-                    wsel, 8 * (srcb & 3)) & 255
-                # in-row overlap: source bytes >= 4q come from acc
-                ab = jax.lax.shift_right_logical(
-                    acc, 8 * (srcb - opos_row)) & 255
-                mb = jnp.where(srcb >= opos_row, ab, mb)
-                takeb = (t2 > b)
-                acc = acc | jnp.where(
-                    takeb, jax.lax.shift_left(mb, 8 * (fill + b)), 0)
+            if byte_phase:
+                # control only: values resolved per byte in phase 2
+                m_fills.append(fill)
+                m_t2s.append(t2)
+                m_src0s.append(src0)
+            else:
+                # per-slot word-pair production (the v1 path): a far
+                # run covering the row costs ONE pair (2 scans) here,
+                # vs up to 4 per-byte scans in phase 2 — any-lane far
+                # rates make this the right shape for unconstrained
+                # streams (see the trade note below)
+                sw = src0 >> 2
+                idx2 = jnp.concatenate([sw - s0, sw + 1 - s0], 0)
+                pair_near = _fetch_rows(ow, idx2, 2, use_onehot)
+
+                def far(_, sw=sw, pair_near=pair_near):
+                    idx2f = jnp.concatenate([sw, sw + 1], 0)
+                    full = out_ref[pl.ds(0, n_rows), :]
+                    pf = _fetch_rows(full, idx2f, 2, use_onehot)
+                    near_ok = jnp.broadcast_to(sw >= s0, (2, LANES))
+                    return jnp.where(near_ok, pair_near, pf)
+
+                far_any = jnp.any((t2 > 0) & (sw < s0))
+                pair = jax.lax.cond(far_any, far,
+                                    lambda _: pair_near, 0)
+                for b in range(4):
+                    srcb = src0 + b
+                    wsel = jnp.where((srcb >> 2) == sw, pair[0:1, :],
+                                     pair[1:2, :])
+                    mb = jax.lax.shift_right_logical(
+                        wsel, 8 * (srcb & 3)) & 255
+                    ab = jax.lax.shift_right_logical(
+                        acc, 8 * (srcb - opos_row)) & 255
+                    mb = jnp.where(srcb >= opos_row, ab, mb)
+                    takeb = (t2 > b)
+                    acc = acc | jnp.where(
+                        takeb,
+                        jax.lax.shift_left(mb, 8 * (fill + b)), 0)
             fill = fill + t2
             mr = mr - t2
+
+        # ---- phase 2: per-byte match resolution. Slot intervals are
+        # disjoint (fill strictly advances), so each output byte maps
+        # to at most one (slot, offset) source; in-row overlap resolves
+        # from acc in byte order (the vector analog of
+        # lz4.c:2406-2418).
+        for b in (range(4) if byte_phase else ()):
+            is_m = jnp.zeros((1, LANES), jnp.bool_)
+            srcb = zero
+            for s in range(4):
+                cov = (m_fills[s] <= b) & (b < m_fills[s] + m_t2s[s])
+                is_m = is_m | cov
+                srcb = jnp.where(cov, m_src0s[s] + (b - m_fills[s]),
+                                 srcb)
+            swb = srcb >> 2
+            # straight-line near fetch per byte (52 ns at 512 rows);
+            # word-reuse cond machinery measured SLOWER (any-lane rates
+            # keep the conds taken — see perf notes)
+            idx1 = jnp.broadcast_to(swb - s0, (1, LANES))
+            w_near = _fetch_rows(ow, idx1, 1, use_onehot)
+
+            def far(_, swb=swb, w_near=w_near):
+                full = out_ref[pl.ds(0, n_rows), :]
+                wf = _fetch_rows(full, jnp.broadcast_to(
+                    swb, (1, LANES)), 1, use_onehot)
+                return jnp.where(swb >= s0, w_near, wf)
+
+            far_any = jnp.any(is_m & (swb < s0))
+            wv = jax.lax.cond(far_any, far, lambda _: w_near, 0)
+            mb = jax.lax.shift_right_logical(wv, 8 * (srcb & 3)) & 255
+            ab = jax.lax.shift_right_logical(
+                acc, 8 * (srcb - opos_row)) & 255
+            mb = jnp.where(srcb >= opos_row, ab, mb)
+            acc = acc | jnp.where(
+                is_m, jax.lax.shift_left(mb, 8 * b), 0)
 
         out_ref[pl.ds(q, 1), :] = acc
         return c, lr, pmn, mr, off
@@ -233,13 +280,16 @@ def _wave_kernel(warena_ref, out_ref, cw_buf, cw_sem, *, n_rows: int,
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "interpret",
-                                             "use_onehot", "near_rows"))
+                                             "use_onehot", "near_rows",
+                                             "byte_phase"))
 def _wave_decode_raw(warena, *, n_rows: int, interpret: bool,
-                     use_onehot: bool, near_rows: int = NEAR_ROWS):
+                     use_onehot: bool, near_rows: int = NEAR_ROWS,
+                     byte_phase: bool = False):
     """warena int32 (NP*WCAPW + pad, 128) interleaved wave-comp words
     -> OUT int32 (n_rows, 128) interleaved output words."""
     kern = functools.partial(_wave_kernel, n_rows=n_rows,
-                             use_onehot=use_onehot, near_rows=near_rows)
+                             use_onehot=use_onehot, near_rows=near_rows,
+                             byte_phase=byte_phase)
     return pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
@@ -267,7 +317,8 @@ def pack_warena(arenas: np.ndarray) -> np.ndarray:
 def wave_decode_batch(arenas: np.ndarray, out_lens,
                       *, interpret: bool | None = None,
                       use_onehot: bool | None = None,
-                      near_rows: int = NEAR_ROWS) -> list[bytes]:
+                      near_rows: int = NEAR_ROWS,
+                      byte_phase: bool = False) -> list[bytes]:
     """Decode B <= 128 wave-split streams in one lockstep kernel call.
 
     arenas uint8 (B, NP, WCAP) from lz4t_wave_split, out_lens the
@@ -286,7 +337,8 @@ def wave_decode_batch(arenas: np.ndarray, out_lens,
     out = _wave_decode_raw(warena, n_rows=n_rows,
                            interpret=bool(interpret),
                            use_onehot=bool(use_onehot),
-                           near_rows=int(near_rows))
+                           near_rows=int(near_rows),
+                           byte_phase=bool(byte_phase))
     flat = np.ascontiguousarray(np.asarray(out).T).astype("<u4") \
         .view(np.uint8).reshape(LANES, n_rows * 4)
     return [flat[i, : out_lens[i]].tobytes() for i in range(B)]

@@ -95,8 +95,10 @@ def main() -> None:
     n_rows = NP * RPP
 
     t0 = time.time()
+    bp = bool(maxd)      # per-byte phase-2 wins when offsets are capped
     out = _wave_decode_raw(warena, n_rows=n_rows, interpret=on_cpu,
-                           use_onehot=True, near_rows=NEAR)
+                           use_onehot=True, near_rows=NEAR,
+                           byte_phase=bp)
     _ = np.asarray(out[-1, -1])
     log(event="compile_plus_first_run", s=round(time.time() - t0, 1))
 
@@ -111,7 +113,8 @@ def main() -> None:
     for _ in range(3):
         t0 = time.perf_counter()
         rs = [_wave_decode_raw(warena, n_rows=n_rows, interpret=on_cpu,
-                               use_onehot=True, near_rows=NEAR)
+                               use_onehot=True, near_rows=NEAR,
+                               byte_phase=bp)
               for _ in range(ASYNC_N)]
         _ = np.asarray(rs[-1][-1, -1])
         dt = (time.perf_counter() - t0 - RTT) / ASYNC_N

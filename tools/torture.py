@@ -155,7 +155,9 @@ def main() -> int:
         arena, ol = r
         arenas = _np.zeros((1, wave_np, WCAP), _np.uint8)
         arenas[0, : arena.shape[0]] = arena
-        return wave_decode_batch(arenas, [ol])[0]
+        import random as _rnd
+        return wave_decode_batch(arenas, [ol],
+                                 byte_phase=_rnd.random() < 0.5)[0]
 
     def ref_decode(comp, cap, d):
         try:
