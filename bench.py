@@ -28,6 +28,33 @@ def _log(msg: str) -> None:
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def host_only(path: str, bs: int) -> None:
+    """Isolated host-tier measurement (spawned as a fresh subprocess so
+    the numbers are free of the main bench's jax-process depression —
+    r4 verdict: record the isolated re-measure in the JSON itself, not
+    in a commit message)."""
+    from lz4_tpu.block.backend import HostBackend
+    with open(path, "rb") as f:
+        data = f.read()
+    n = len(data) - len(data) % bs
+    data = data[:n]
+    hblocks = [data[i: i + bs] for i in range(0, n, bs)]
+    hb = HostBackend(nb_workers=0)
+    enc_mbs = dec_mbs = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hcomp = hb.compress_batch(hblocks, level=1)
+        enc_mbs = max(enc_mbs, round((n / 1e6)
+                                     / (time.perf_counter() - t0), 1))
+        t0 = time.perf_counter()
+        hout = hb.decompress_batch(hcomp, [bs] * len(hcomp))
+        dec_mbs = max(dec_mbs, round((n / 1e6)
+                                     / (time.perf_counter() - t0), 1))
+    assert b"".join(hout) == data
+    print(json.dumps({"host_isolated_compress_MBs": enc_mbs,
+                      "host_isolated_decompress_MBs": dec_mbs}))
+
+
 def main() -> None:
     import jax
 
@@ -470,6 +497,31 @@ def main() -> None:
     except Exception as e:
         _log(f"same-box reference bench skipped: {e}")
 
+    # isolated host-tier re-measure in a FRESH process (free of this
+    # process's live-array depression); recorded in the JSON so "box
+    # noise" claims carry their evidence (r4 verdict #10)
+    host_iso_mbs = host_iso_dec_mbs = None
+    try:
+        import subprocess
+        import tempfile
+        with tempfile.NamedTemporaryFile(suffix=".bin",
+                                         delete=False) as tf:
+            tf.write(data)
+            tmp_iso = tf.name
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--host-only",
+             tmp_iso, str(bs)],
+            capture_output=True, text=True, timeout=600,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        os.unlink(tmp_iso)
+        iso = json.loads(r.stdout.strip().splitlines()[-1])
+        host_iso_mbs = iso["host_isolated_compress_MBs"]
+        host_iso_dec_mbs = iso["host_isolated_decompress_MBs"]
+        _log(f"host C tier (isolated process): encode {host_iso_mbs} "
+             f"MB/s, decode {host_iso_dec_mbs} MB/s")
+    except Exception as e:
+        _log(f"isolated host tier skipped: {e}")
+
     # end-to-end CLI decode (decode/write overlap path, verdict #7):
     # host backend, file -> file through io.engine
     cli_dec_mbs = None
@@ -516,6 +568,8 @@ def main() -> None:
             "bigblock_decode_MBs": big_dec_mbs,
             "host_compress_MBs": host_mbs,
             "host_decompress_MBs": host_dec_mbs,
+            "host_isolated_compress_MBs": host_iso_mbs,
+            "host_isolated_decompress_MBs": host_iso_dec_mbs,
             "cli_decode_MBs": cli_dec_mbs,
             "wave_decode_MBs": wave_mbs,
             "wave_maxd2k_decode_MBs": wave_maxd_mbs,
@@ -555,19 +609,33 @@ def main() -> None:
     try:
         if prev:
             prev_d = prev.get("detail", {})
+            # gate tightened to 0.92x (r4 verdict #10); host paths
+            # compare ISOLATED-process numbers when both rounds carry
+            # them (in-jax-process host numbers stay depressed ~15%
+            # run-to-run and fall back to 0.85x slack)
+            host_iso_prev = prev_d.get("host_isolated_compress_MBs")
+            host_iso_dec_prev = prev_d.get(
+                "host_isolated_decompress_MBs")
             checks = [
-                # device paths alarm at 0.9x; host-tier numbers inside
-                # the jax process carry ~15% run-to-run depression vs
-                # isolated runs, so they get 0.85x slack
                 ("compress_MBs", result["value"], prev.get("value"),
-                 0.9),
+                 0.92),
                 ("decompress_MBs", result["detail"]["decompress_MBs"],
-                 prev_d.get("decompress_MBs"), 0.9),
-                ("host_compress_MBs", host_mbs,
-                 prev_d.get("host_compress_MBs"), 0.85),
-                ("host_decompress_MBs", host_dec_mbs,
-                 prev_d.get("host_decompress_MBs"), 0.85),
+                 prev_d.get("decompress_MBs"), 0.92),
             ]
+            if host_iso_mbs and host_iso_prev:
+                checks += [
+                    ("host_isolated_compress_MBs", host_iso_mbs,
+                     host_iso_prev, 0.92),
+                    ("host_isolated_decompress_MBs", host_iso_dec_mbs,
+                     host_iso_dec_prev, 0.92),
+                ]
+            else:
+                checks += [
+                    ("host_compress_MBs", host_mbs,
+                     prev_d.get("host_compress_MBs"), 0.85),
+                    ("host_decompress_MBs", host_dec_mbs,
+                     prev_d.get("host_decompress_MBs"), 0.85),
+                ]
             regressed = []
             for name, cur, old, thr in checks:
                 if cur and old and cur < thr * old:
@@ -584,4 +652,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 4 and sys.argv[1] == "--host-only":
+        host_only(sys.argv[2], int(sys.argv[3]))
+    else:
+        main()

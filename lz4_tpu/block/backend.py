@@ -112,14 +112,29 @@ class HostBackend:
         from lz4_tpu.hc.codec import compress_block_hc
 
         no_dicts = not dict_prefixes or not any(dict_prefixes)
-        if max_dist < 65535 and level < 2 and self._native is not None:
+        if max_dist < 65535:
             # distance-capped fast mode (wave-friendly streams;
-            # lz4t_compress_block_maxd) — fast tier only
+            # lz4t_compress_block_maxd) — fast tier only. HC levels do
+            # not honour the cap (the CLI rejects the combination,
+            # cli.py); never fall through silently to an uncapped path.
+            if level >= 2:
+                raise ValueError(
+                    "--max-dist applies to the fast tier only "
+                    "(level < 2)")
+            if self._native is not None:
+                return self._map(
+                    lambda ib: self._native.compress_maxd(
+                        ib[1], max_dist, acceleration=max(1, acceleration),
+                        dict_prefix=(dict_prefixes[ib[0]]
+                                     if dict_prefixes else None)),
+                    list(enumerate(blocks)))
+            # pure-python fallback honours the cap too
             return self._map(
-                lambda ib: self._native.compress_maxd(
-                    ib[1], max_dist, acceleration=max(1, acceleration),
+                lambda ib: compress_block(
+                    ib[1], acceleration=max(1, acceleration),
                     dict_prefix=(dict_prefixes[ib[0]]
-                                 if dict_prefixes else None)),
+                                 if dict_prefixes else None),
+                    max_dist=max_dist),
                 list(enumerate(blocks)))
         if (level < 2 and no_dicts and self._native is not None
                 and len(blocks) > 1):

@@ -333,6 +333,9 @@ def wave_decode_batch(arenas: np.ndarray, out_lens,
         use_onehot = not interpret
     B, NP, _ = arenas.shape
     n_rows = NP * RPP
+    # the kernel slices a full near_rows window of OUT unconditionally;
+    # clamp so 1-piece arenas (n_rows < NEAR_ROWS) stay in bounds
+    near_rows = min(int(near_rows), n_rows)
     warena = jnp.asarray(pack_warena(arenas))
     out = _wave_decode_raw(warena, n_rows=n_rows,
                            interpret=bool(interpret),

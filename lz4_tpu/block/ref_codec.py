@@ -82,7 +82,8 @@ def _match_forward(buf: np.ndarray, a: int, b: int, limit: int) -> int:
 # --------------------------------------------------------------------------
 
 def compress_block(src: bytes | np.ndarray, *, acceleration: int = 1,
-                   dict_prefix: bytes | np.ndarray | None = None) -> bytes:
+                   dict_prefix: bytes | np.ndarray | None = None,
+                   max_dist: int = LZ4_DISTANCE_MAX) -> bytes:
     """Greedy LZ4 block compression. Returns the raw block bytes.
 
     `dict_prefix` prepends history (streaming linked blocks / external
@@ -120,7 +121,7 @@ def compress_block(src: bytes | np.ndarray, *, acceleration: int = 1,
     while p <= match_start_limit:
         c = prev[p] if p < prev.size else -1
         ml = 0
-        if c >= 0 and p - c <= LZ4_DISTANCE_MAX:
+        if c >= 0 and p - c <= min(LZ4_DISTANCE_MAX, max_dist):
             ml = _match_forward(buf, p, int(c), match_end_limit)
         if ml >= MINMATCH:
             # back-extension (catch-up), lz4.c:1104-1109 behaviour

@@ -351,10 +351,16 @@ def main(argv: list[str] | None = None) -> int:
                     else:
                         break
                     got = True
-                if not got:
-                    raise CliError("-B needs an argument")
+                # a bare -B with no property is a no-op, matching the
+                # reference property loop (lz4cli.c:612-649)
+                del got
             else:
                 raise CliError(f"unknown option -{c}")
+    if prefs.max_dist < 65535 and prefs.level >= 2:
+        # the cap is honoured by the fast tier only; refuse rather than
+        # silently emitting uncapped offsets (advisor r4 finding)
+        raise CliError("--max-dist applies to levels 0/1 only "
+                       "(the fast tier); drop the -# level or the cap")
     return _dispatch(mode, prefs, files, multiple, recursive,
                      force_stdout, backend_name, bench_levels)
 

@@ -48,6 +48,7 @@ class FrameDecompressor:
     _SKIP_BODY = "skip_body"
     _LEGACY_BLOCK_HEADER = "legacy_block_header"
     _LEGACY_BLOCK_DATA = "legacy_block_data"
+    _PUMP = "pump"            # native C frame walker owns the frame body
     _DONE = "done"
 
     def __init__(self, *, backend: BlockBackend | None = None,
@@ -99,6 +100,13 @@ class FrameDecompressor:
         out = bytearray()
         consumed = 0
         while self._stage != self._DONE:
+            if self._stage == self._PUMP:
+                produced, used = self._pump_feed(data, consumed)
+                consumed += used
+                out += produced
+                if self._stage == self._PUMP:
+                    break          # everything consumable is consumed
+                continue
             if not self._buf and len(data) - consumed >= self._need:
                 # fast path: the whole stage payload is available in
                 # the input — one extraction, no bytearray round trip
@@ -171,6 +179,22 @@ class FrameDecompressor:
             return b""
         self._stage = self._BLOCK_HEADER
         self._need = 4
+        # native C frame walker (native/framewalk.c, the decode-engine
+        # analog of lz4io.c:1942-2203): when the block backend is the
+        # host C tier anyway, the whole frame body — block headers,
+        # checksums, linked history, content XXH32 — pumps through ONE
+        # C call per run of complete blocks instead of per-block Python
+        bc = self._pump_eligible()
+        if bc is not None:
+            self._pump_bc = bc
+            self._pump_state = bc.frame_state_new(
+                block_checksum=info.block_checksum,
+                independent=info.block_independent,
+                content_checksum=info.content_checksum,
+                verify=self.verify_checksums,
+                block_max=info.block_max_size,
+                dict_content=self._dict)
+            self._stage = self._PUMP
         return b""
 
     def _on_block_header(self, chunk: bytes) -> bytes:
@@ -252,6 +276,116 @@ class FrameDecompressor:
             self._account(d)
             out += d
         return bytes(out)
+
+    # ------------------------------------------------------- native pump
+    def _pump_eligible(self):
+        """Return the native blockcodec facade when the C frame walker
+        should own this frame's body: host-tier backend with the native
+        library loaded (a device backend keeps the Python walk so block
+        batches still route to the device)."""
+        import os
+        if os.environ.get("LZ4_TPU_FRAME_PUMP", "1") == "0":
+            return None
+        from lz4_tpu.block.backend import HostBackend
+        be = self.backend
+        if isinstance(be, HostBackend) and be._native is not None:
+            try:
+                from lz4_tpu import native
+                bc = native.blockcodec
+            except ImportError:
+                return None
+            return bc
+        return None
+
+    def _pump_raise(self, status: int):
+        if status == -2:
+            raise FrameError("blockChecksum_invalid")
+        if status == -3:
+            raise FrameError("contentChecksum_invalid")
+        if status == -4:
+            raise FrameError("maxBlockSize_invalid")
+        from lz4_tpu.block.ref_codec import BlockDecodeError
+        raise BlockDecodeError("malformed block (native frame walker)")
+
+    def _pump_set_need(self, data, pos: int) -> None:
+        """Derive the next unit size (block header + payload [+ block
+        checksum], endmark [+ content checksum]) from the walker stage
+        and the lookahead, so sub-unit tails buffer exactly."""
+        if self._pump_bc.frame_stage(self._pump_state) == 1:
+            self._need = 4                    # content checksum
+            return
+        if len(data) - pos >= 4:
+            word = struct.unpack("<I", data[pos: pos + 4])[0]
+            if word == 0:
+                self._need = 4 + (4 if self._info.content_checksum
+                                  else 0)
+            else:
+                size = word & ~BLOCK_UNCOMPRESSED_FLAG
+                if size > self._info.block_max_size:
+                    raise FrameError("maxBlockSize_invalid",
+                                     f"block size {size}")
+                self._need = 4 + size + (4 if self._info.block_checksum
+                                         else 0)
+        else:
+            self._need = 4
+
+    def _pump_feed(self, data: bytes, start: int) -> tuple[bytes, int]:
+        """Drive the C walker over data[start:]; returns (decoded,
+        consumed). Consumes every complete unit; buffers any sub-unit
+        tail into self._buf for the next feed."""
+        bc = self._pump_bc
+        st = self._pump_state
+        pos = start
+        out = bytearray()
+        out_cap = max(2 * self._info.block_max_size, 1 << 22)
+        while self._stage == self._PUMP:
+            if self._buf:
+                take = min(len(data) - pos, self._need - len(self._buf))
+                if take > 0:
+                    self._buf += data[pos: pos + take]
+                    pos += take
+                if len(self._buf) < self._need:
+                    break
+                chunk = bytes(self._buf)
+                del self._buf[:]
+                status, produced, used = bc.frame_pump(st, chunk, 0,
+                                                       out_cap)
+                out += produced
+                self._total_out += len(produced)
+                if status < 0:
+                    self._pump_raise(status)
+                if status == 1:
+                    self._finish()
+                    break
+                if used < len(chunk):
+                    self._buf += chunk[used:]
+                self._pump_set_need(bytes(self._buf), 0)
+                if used == 0:
+                    break          # complete unit couldn't advance yet
+                continue
+            status, produced, used = bc.frame_pump(st, data, pos,
+                                                   out_cap)
+            pos += used
+            out += produced
+            self._total_out += len(produced)
+            if status < 0:
+                self._pump_raise(status)
+            if status == 1:
+                self._finish()
+                break
+            rem = len(data) - pos
+            if used > 0 and rem > 0:
+                continue           # stopped for output space: go again
+            if rem == 0:
+                break
+            # sub-unit tail: buffer it for the next feed
+            self._pump_set_need(data, pos)
+            take = min(rem, self._need)
+            self._buf += data[pos: pos + take]
+            pos += take
+            if len(self._buf) < self._need:
+                break
+        return bytes(out), pos - start
 
     def _on_content_checksum(self, chunk: bytes) -> bytes:
         want = struct.unpack("<I", chunk)[0]

@@ -131,6 +131,19 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.lz4t_wave_split.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_long, ctypes.c_long, ctypes.POINTER(ctypes.c_int32)]
+    lib.lz4t_frame_state_size.restype = ctypes.c_long
+    lib.lz4t_frame_state_size.argtypes = []
+    lib.lz4t_frame_stage.restype = ctypes.c_long
+    lib.lz4t_frame_stage.argtypes = [ctypes.c_void_p]
+    lib.lz4t_frame_state_init.restype = None
+    lib.lz4t_frame_state_init.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_char_p, ctypes.c_long]
+    lib.lz4t_frame_pump.restype = ctypes.c_long
+    lib.lz4t_frame_pump.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long)]
 
 
 class _XXH:
@@ -371,6 +384,51 @@ class _BlockCodec:
         if r < 0:
             return None
         return arena[:r], int(out_len.value)
+
+    # -------------------------------------------------- frame pump
+    # (framewalk.c — the lz4io.c:1942-2203 decode-engine analog: one C
+    # call per run of complete frame blocks, GIL released)
+
+    FW_FLAG_BLOCK_CHECKSUM = 1
+    FW_FLAG_INDEPENDENT = 2
+    FW_FLAG_CONTENT_CHECKSUM = 4
+    FW_FLAG_VERIFY = 8
+
+    def frame_state_new(self, *, block_checksum: bool, independent: bool,
+                        content_checksum: bool, verify: bool,
+                        block_max: int, dict_content: bytes | None = None):
+        st = ctypes.create_string_buffer(
+            self._lib.lz4t_frame_state_size())
+        flags = ((self.FW_FLAG_BLOCK_CHECKSUM if block_checksum else 0)
+                 | (self.FW_FLAG_INDEPENDENT if independent else 0)
+                 | (self.FW_FLAG_CONTENT_CHECKSUM if content_checksum
+                    else 0)
+                 | (self.FW_FLAG_VERIFY if verify else 0))
+        d = bytes(dict_content or b"")
+        self._lib.lz4t_frame_state_init(st, flags, block_max, d, len(d))
+        return st
+
+    def frame_stage(self, st) -> int:
+        return int(self._lib.lz4t_frame_stage(st))
+
+    def frame_pump(self, st, data, offset: int, out_cap: int):
+        """Decode complete blocks from data[offset:] into a scratch
+        arena (out_cap must be >= the frame's block_max). Returns
+        (status, produced_bytes, consumed): status 1 = frame done,
+        0 = need more input or output space, negative = error code
+        (-2 blockChecksum, -3 contentChecksum, -4 blockSize,
+        -5 malformed block)."""
+        import numpy as np
+        view = np.frombuffer(data, np.uint8)[offset:]
+        out = self._scratch(out_cap)
+        consumed = ctypes.c_long(0)
+        produced = ctypes.c_long(0)
+        status = self._lib.lz4t_frame_pump(
+            st, view.ctypes.data_as(ctypes.c_void_p), view.size,
+            out.ctypes.data_as(ctypes.c_void_p), out_cap,
+            ctypes.byref(consumed), ctypes.byref(produced))
+        return (int(status), out[: produced.value].tobytes(),
+                int(consumed.value))
 
     def decompress(self, comp: bytes, max_out: int,
                    dict_prefix: bytes | None = None) -> bytes:
