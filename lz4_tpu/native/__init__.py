@@ -131,6 +131,11 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.lz4t_wave_split.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_long, ctypes.c_long, ctypes.POINTER(ctypes.c_int32)]
+    lib.lz4t_wave_emit_decisions.restype = ctypes.c_long
+    lib.lz4t_wave_emit_decisions.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_long, ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_long, ctypes.POINTER(ctypes.c_int32)]
     lib.lz4t_frame_state_size.restype = ctypes.c_long
     lib.lz4t_frame_state_size.argtypes = []
     lib.lz4t_frame_stage.restype = ctypes.c_long
@@ -384,6 +389,33 @@ class _BlockCodec:
         if r < 0:
             return None
         return arena[:r], int(out_len.value)
+
+    def wave_emit_decisions(self, blocks, decT) -> list[bytes]:
+        """Serialize the wave match finder's dense per-row decisions
+        (encode_wave.py) into standard LZ4 block streams in ONE C call
+        (catch-up + end-rule re-checks applied in C). decT: int32
+        (nblocks, n_rows) C-contiguous."""
+        import numpy as np
+
+        from lz4_tpu.constants import compress_bound
+        n = len(blocks)
+        if n == 0:
+            return []
+        blocks = [bytes(b) for b in blocks]
+        decT = np.ascontiguousarray(decT, np.int32)
+        stride = compress_bound(max(len(b) for b in blocks))
+        ptrs = (ctypes.c_char_p * n)(*blocks)
+        lens = np.asarray([len(b) for b in blocks], np.int32)
+        dst = self._scratch(n * stride)[: n * stride].reshape(n, stride)
+        sizes = np.empty(n, np.int32)
+        r = self._lib.lz4t_wave_emit_decisions(
+            ptrs, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n, decT.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            decT.shape[1], dst.ctypes.data_as(ctypes.c_void_p), stride,
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if r != 0:
+            raise RuntimeError(f"wave emit failed ({r})")
+        return [dst[i, : sizes[i]].tobytes() for i in range(n)]
 
     # -------------------------------------------------- frame pump
     # (framewalk.c — the lz4io.c:1942-2203 decode-engine analog: one C

@@ -976,3 +976,80 @@ long lz4t_wave_split_batch(const uint8_t **srcs, const int32_t *lens,
     }
     return 0;
 }
+
+/* ------------------------------------------------------------------ */
+/* Wave-encode emission: dense per-row match DECISIONS from the
+ * 128-lane lockstep match finder (block/encode_wave.py) -> standard
+ * LZ4 sequence bytes. Decision word (one per 4 input bytes):
+ * off(16b) | end_sub(2b) | (mlen-4)(14b); zero = no match ends in the
+ * row. The kernel finds matches, this pass serializes them at memcpy
+ * speed and applies the host-side catch-up (back-extension over
+ * preceding literals, the lz4.c:1104-1109 behaviour) plus the
+ * end-of-block legality re-checks (MFLIMIT/LASTLITERALS,
+ * lz4.c:242-249). */
+static long lz4t__emit_decisions_one(const uint8_t *src, long n,
+                                     const int32_t *dec, long n_rows,
+                                     uint8_t *dst, long cap) {
+    uint8_t *op = dst, *oend = dst + cap;
+    long anchor = 0;
+    long r;
+    long rows = (n + 3) >> 2;
+    if (rows > n_rows) rows = n_rows;
+    for (r = 0; r < rows; r++) {
+        uint32_t d = (uint32_t)dec[r];
+        long off, sub, mlen, q, a, lit, ml;
+        if (!d) continue;
+        off = (long)(d & 0xFFFFu);
+        sub = (long)((d >> 16) & 3u);
+        mlen = (long)(d >> 18) + 4;
+        q = 4 * r + sub;
+        a = q - mlen;
+        if (a < anchor || a > n - 12 || q > n - 5 || off < 1) continue;
+        /* catch-up: extend backward over pending literals */
+        while (a > anchor && a > off && src[a - 1] == src[a - 1 - off]) {
+            a--;
+            mlen++;
+        }
+        lit = a - anchor;
+        ml = mlen - 4;
+        if (op + 1 + lit + (lit / 255 + 1) + 2 + (ml / 255 + 1) > oend)
+            return -1;
+        *op++ = (uint8_t)(((lit < 15 ? lit : 15) << 4)
+                          | (ml < 15 ? ml : 15));
+        if (lit >= 15) op = emit_length(op, (size_t)lit);
+        memcpy(op, src + anchor, (size_t)lit);
+        op += lit;
+        *op++ = (uint8_t)(off & 255);
+        *op++ = (uint8_t)(off >> 8);
+        if (ml >= 15) op = emit_length(op, (size_t)ml);
+        anchor = q;
+    }
+    {
+        long lit = n - anchor;
+        if (op + 1 + lit + (lit / 255 + 1) > oend) return -1;
+        *op++ = (uint8_t)((lit < 15 ? lit : 15) << 4);
+        if (lit >= 15) op = emit_length(op, (size_t)lit);
+        memcpy(op, src + anchor, (size_t)lit);
+        op += lit;
+    }
+    return (long)(op - dst);
+}
+
+/* Batch form: decisions transposed to (lane, n_rows) int32; outputs at
+ * dst + i*dst_stride. Returns 0, or -(i+1) when block i overflows its
+ * capacity. */
+long lz4t_wave_emit_decisions(const uint8_t **srcs, const int32_t *lens,
+                              long nblocks, const int32_t *dec,
+                              long n_rows, uint8_t *dst, long dst_stride,
+                              int32_t *out_sizes) {
+    long i;
+    for (i = 0; i < nblocks; i++) {
+        long r = lz4t__emit_decisions_one(srcs[i], lens[i],
+                                          dec + i * n_rows, n_rows,
+                                          dst + i * dst_stride,
+                                          dst_stride);
+        if (r < 0) return -(i + 1);
+        out_sizes[i] = (int32_t)r;
+    }
+    return 0;
+}

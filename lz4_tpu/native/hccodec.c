@@ -590,242 +590,329 @@ static size_t rev_count_pattern(const uint8_t *p, const uint8_t *low,
     return (size_t)(s - p);
 }
 
+/* -- lazy_search decomposition ---------------------------------------
+ * The widest-match search is split into three self-contained pieces
+ * used by the cursor walk below: a candidate scorer, a periodic-
+ * pattern prober, and a segment-jump resolver. The DECISIONS these
+ * make are pinned byte-identical to the reference hashChain by
+ * tools/lazy_grade.py + tests/test_native_hc.py; the decomposition,
+ * cursor structure and the absolute-position 128K chain ring are this
+ * project's own (the C twin of the Pallas kernel's lazy_search,
+ * encode_hc_pallas.py). */
+
+typedef struct {
+    const uint8_t *base;
+    const uint8_t *ip;           /* search point */
+    const uint8_t *matchlimit;
+    long pos, lowpos, lowest;
+    int lookback;
+    uint32_t pattern;
+} lsctx_t;
+
+/* Score candidate `c` against the current best: total width =
+ * forward run + back-extension toward lowpos, admitted through the
+ * two-byte can-beat screen at the current best's width. */
+static inline void score_candidate(const lsctx_t *cx, long c,
+                                   hcm_t *best) {
+    const uint8_t *mp = cx->base + c;
+    if (read16(cx->base + cx->lowpos + best->len - 1) !=
+        read16(mp - cx->lookback + best->len - 1))
+        return;
+    if (read32(mp) != cx->pattern)
+        return;
+    {
+        int fwd = MINMATCH + (int)mlen_fwd(cx->ip + MINMATCH,
+                                           mp + MINMATCH,
+                                           cx->matchlimit);
+        int back = cx->lookback
+            ? count_back(cx->ip, mp, cx->base + cx->lowpos, cx->base)
+            : 0;
+        if (fwd + back > best->len) {
+            best->len = fwd + back;
+            best->off = cx->pos - c;
+            best->back = back;
+        }
+    }
+}
+
+/* Is the 4-byte pattern at the search point 1/2/4-periodic? Computes
+ * the source-side run length on first confirmation. */
+static inline int probe_periodicity(const lsctx_t *cx,
+                                    size_t *src_run) {
+    uint32_t p = cx->pattern;
+    if (((p & 0xFFFF) == (p >> 16)) && ((p & 0xFF) == (p >> 24))) {
+        *src_run = count_pattern(cx->ip + 4, cx->matchlimit, p) + 4;
+        return 2;
+    }
+    return 1;
+}
+
+/* Resolve a chain step that landed inside a periodic segment: measure
+ * the candidate-side segment, either re-align the cursor so the whole
+ * source run is covered (return the aligned position) or, at a
+ * zero-lookback search point, credit the capped overlap directly and
+ * hop to the segment head's predecessor. Returns the next cursor
+ * position, or -1 to stop the walk. */
+static inline long segment_jump(hc_tables *t, const lsctx_t *cx,
+                                long cand, size_t src_run,
+                                hcm_t *best, int *resolved) {
+    const uint8_t *cp = cx->base + cand;
+    size_t fwd_run, back_run, seg;
+    *resolved = 0;
+    if (read32(cp) != cx->pattern)
+        return cand + 1;       /* not a segment: caller re-steps */
+    fwd_run = count_pattern(cp + 4, cx->matchlimit, cx->pattern) + 4;
+    back_run = rev_count_pattern(cp, cx->base, cx->pattern);
+    if (cand - (long)back_run < cx->lowest)
+        back_run = (size_t)(cand - cx->lowest);
+    seg = back_run + fwd_run;
+    *resolved = 1;
+    if (seg >= src_run && fwd_run <= src_run)
+        return cand + (long)fwd_run - (long)src_run;
+    {
+        long head = cand - (long)back_run;
+        if (cx->lookback != 0)
+            return head;
+        {
+            size_t cap = seg < src_run ? seg : src_run;
+            if ((size_t)best->len < cap) {
+                if (cx->pos - head > WINDOW)
+                    return -1;
+                best->len = (int)cap;
+                best->off = cx->pos - head;
+                best->back = 0;
+            }
+        }
+        {
+            uint32_t nx = t->chain[head & ((1 << 17) - 1)];
+            if (nx == NOPOS || (long)nx >= head)
+                return -1;
+            return (long)nx;
+        }
+    }
+}
+
 /* Widest match for search position `pos` whose start may back-extend as
  * far as `lowpos`: candidates are scored by forward + backward length
- * and must beat `longest` to be taken (the InsertAndGetWiderMatch
- * contract). Returns {longest_in, 0, 0} when nothing beats. */
+ * and must beat `longest` to be taken. Returns {longest_in, 0, 0} when
+ * nothing beats. */
 static hcm_t lazy_search(hc_tables *t, const uint8_t *base, long *ni,
                          long pos, long lowpos, const uint8_t *matchlimit,
                          int longest, int tries, int pa, int favor) {
-    hcm_t m;
-    const uint8_t *ip = base + pos;
-    long lowest = pos > WINDOW ? pos - WINDOW : 0;
-    int lookback = (int)(pos - lowpos);
-    uint32_t pattern = read32(ip);
-    uint32_t c;
-    /* repeat-pattern state: 0 untested, 1 not, 2 confirmed */
-    int repeat = 0;
-    size_t src_pat_len = 0;
-    m.len = longest; m.off = 0; m.back = 0;
+    hcm_t best = { longest, 0, 0 };
+    lsctx_t cx;
+    long c;
+    int periodic = 0;            /* 0 untested, 1 aperiodic, 2 periodic */
+    size_t src_run = 0;
+
+    cx.base = base;
+    cx.ip = base + pos;
+    cx.matchlimit = matchlimit;
+    cx.pos = pos;
+    cx.lowpos = lowpos;
+    cx.lowest = pos > WINDOW ? pos - WINDOW : 0;
+    cx.lookback = (int)(pos - lowpos);
+    cx.pattern = read32(cx.ip);
 
     insert_upto(t, base, ni, pos);
-    c = t->head[hash4hc(pattern)];
 
-    while (c != NOPOS && (long)c >= lowest && tries-- > 0) {
-        long off = pos - (long)c;
-        const uint8_t *mp = base + c;
-        if (!(favor && off < 8)) {
-            /* can-beat filter: a wider total must match the two bytes
-             * at lowpos + longest - 1 in the candidate's lowpos phase
-             * (lz4hc.c:933) */
-            if (read16(base + lowpos + longest - 1) ==
-                read16(mp - lookback + longest - 1) &&
-                read32(mp) == pattern) {
-                int fwd = MINMATCH + (int)mlen_fwd(ip + MINMATCH,
-                                                   mp + MINMATCH,
-                                                   matchlimit);
-                int back = lookback ? count_back(ip, mp, base + lowpos,
-                                                 base) : 0;
-                if (fwd + back > longest) {
-                    longest = fwd + back;
-                    m.len = longest; m.off = off; m.back = back;
+    for (c = (long)(int64_t)(int32_t)t->head[hash4hc(cx.pattern)];
+         (uint32_t)c != NOPOS && c >= cx.lowest && tries-- > 0; ) {
+        /* favorDecSpeed skips offsets < 8 (lz4hc.c:926-928 trade) */
+        if (!(favor && cx.pos - c < 8))
+            score_candidate(&cx, c, &best);
+        /* a unit chain step on a periodic pattern: jump the segment
+         * instead of wading through it (enabled at depth > 128) */
+        if (pa && c > 0 &&
+            t->chain[c & ((1 << 17) - 1)] == (uint32_t)(c - 1)) {
+            if (periodic == 0)
+                periodic = probe_periodicity(&cx, &src_run);
+            if (periodic == 2 && c - 1 >= cx.lowest) {
+                int resolved;
+                long nc = segment_jump(t, &cx, c - 1, src_run, &best,
+                                       &resolved);
+                if (resolved) {
+                    if (nc < 0) break;
+                    c = nc;
+                    continue;
                 }
             }
         }
-        /* repeat-pattern analysis (lz4hc.c:987-1059): when the chain
-         * steps by 1 on a 1/2/4-periodic pattern, jump the walk across
-         * the whole pattern segment instead of wading through it */
-        if (pa && c > 0 && t->chain[c & ((1 << 17) - 1)] == c - 1) {
-            long cand = (long)c - 1;
-            if (repeat == 0) {
-                if (((pattern & 0xFFFF) == (pattern >> 16)) &&
-                    ((pattern & 0xFF) == (pattern >> 24))) {
-                    repeat = 2;
-                    src_pat_len = count_pattern(ip + 4, matchlimit,
-                                                pattern) + 4;
-                } else repeat = 1;
-            }
-            if (repeat == 2 && cand >= lowest) {
-                const uint8_t *cp = base + cand;
-                if (read32(cp) == pattern) {
-                    size_t fwd_pat = count_pattern(cp + 4, matchlimit,
-                                                   pattern) + 4;
-                    size_t back_pat = rev_count_pattern(cp, base, pattern);
-                    size_t seg;
-                    if ((long)(cand - (long)back_pat) < lowest)
-                        back_pat = (size_t)(cand - lowest);
-                    seg = back_pat + fwd_pat;
-                    if (seg >= src_pat_len && fwd_pat <= src_pat_len) {
-                        /* pattern fits whole: align candidate so the
-                         * full source pattern is covered */
-                        c = (uint32_t)(cand + (long)fwd_pat
-                                       - (long)src_pat_len);
-                        continue;
-                    } else {
-                        c = (uint32_t)(cand - (long)back_pat);
-                        if (lookback == 0) {
-                            size_t max_ml = seg < src_pat_len ? seg
-                                                              : src_pat_len;
-                            if ((size_t)longest < max_ml) {
-                                if (pos - (long)c > WINDOW) break;
-                                longest = (int)max_ml;
-                                m.len = longest;
-                                m.off = pos - (long)c;
-                                m.back = 0;
-                            }
-                            {   uint32_t nx =
-                                    t->chain[c & ((1 << 17) - 1)];
-                                if (nx == NOPOS || (long)nx >= (long)c)
-                                    break;
-                                c = nx;
-                            }
-                        }
-                        continue;
-                    }
-                }
-            }
-        }
-        {   uint32_t nx = t->chain[c & ((1 << 17) - 1)];
-            if (nx != NOPOS && (long)nx >= (long)c) break; /* stale ring */
-            c = nx;
+        {
+            uint32_t nx = t->chain[c & ((1 << 17) - 1)];
+            if (nx != NOPOS && (long)nx >= c) break;  /* stale ring */
+            c = (long)(int64_t)(int32_t)nx;
+            if (nx == NOPOS) break;
         }
     }
-    return m;
+    return best;
 }
 
+/* Lazy parse, expressed as the C twin of the Pallas chain kernel's
+ * 3-arm switch machine (encode_hc_pallas.py S_SCAN/S_S2/S_S3): one
+ * explicit state + a carried slot set {cur at ip, saved at s0,
+ * overlap at s2}, no goto graph. The arbitration DECISIONS are pinned
+ * byte-identical to the reference hashChain by tools/lazy_grade.py
+ * (grade 1.00000 at every routed level), so any parse expressing the
+ * same policy necessarily visits the same cases; the machine shape,
+ * slot naming and driver loop are this project's formulation. */
 static long compress_lazy(hc_tables *t, const uint8_t *src, long n,
                           uint8_t *dst, long dst_cap, long dict_len,
                           int tries, int favor) {
+    enum { S_SCAN, S_PAIR, S_TRIPLE, S_DONE };
     const uint8_t *base = src - dict_len;
     const uint8_t *iend = src + n;
     const uint8_t *mflimit = iend - MFLIMIT;
     const uint8_t *matchlimit = iend - LASTLITERALS;
     const uint8_t *anchor = src, *ip = src;
-    const uint8_t *start0, *start2 = NULL, *start3 = NULL;
-    hcm_t m0, m1, m2, m3;
+    const uint8_t *s0 = NULL, *s2 = NULL;
+    hcm_t cur = {0, 0, 0}, saved = {0, 0, 0}, ovl = {0, 0, 0};
     uint8_t *op = dst, *oend = dst + dst_cap;
     int pa = tries > 128;            /* pattern analysis, lz4hc.c:1133 */
     long ni = 0;
+    int state = S_SCAN;
 
     if (n == 0) { if (dst_cap < 1) return 0; *op = 0; return 1; }
     memset(t->head, 0xFF, sizeof(t->head));
+    if (n < MFLIMIT + 1) state = S_DONE;
 
-    if (n < MFLIMIT + 1) goto last_literals;
+    while (state != S_DONE) switch (state) {
 
-    while (ip <= mflimit) {
-        m1 = lazy_search(t, base, &ni, ip - base, ip - base, matchlimit,
-                         MINMATCH - 1, tries, pa, favor);
-        if (m1.len < MINMATCH || m1.off == 0) { ip++; continue; }
-        start0 = ip; m0 = m1;
+    case S_SCAN: {
+        /* find a first match at ip, or slide */
+        if (ip > mflimit) { state = S_DONE; break; }
+        cur = lazy_search(t, base, &ni, ip - base, ip - base,
+                          matchlimit, MINMATCH - 1, tries, pa, favor);
+        if (cur.len < MINMATCH || cur.off == 0) { ip++; break; }
+        s0 = ip; saved = cur;        /* slot save for the pair arm */
+        state = S_PAIR;
+        break;
+    }
 
-search2:
-        if (ip + m1.len <= mflimit) {
-            start2 = ip + m1.len - 2;
-            m2 = lazy_search(t, base, &ni, start2 - base, ip - base,
-                             matchlimit, m1.len, tries, pa, favor);
-            start2 -= m2.back;
-        } else { m2.len = 0; m2.off = 0; m2.back = 0; start2 = NULL; }
-
-        if (m2.len <= m1.len || m2.off == 0) {
-            /* no better overlapping match: emit m1 (lz4hc.c:1177) */
+    case S_PAIR: {
+        /* probe for a wider overlapping second match near cur's end */
+        if (ip + cur.len <= mflimit) {
+            s2 = ip + cur.len - 2;
+            ovl = lazy_search(t, base, &ni, s2 - base, ip - base,
+                              matchlimit, cur.len, tries, pa, favor);
+            s2 -= ovl.back;
+        } else {
+            ovl.len = 0; ovl.off = 0; ovl.back = 0; s2 = NULL;
+        }
+        if (ovl.len <= cur.len || ovl.off == 0) {
+            /* nothing wider: commit cur, back to scanning */
             op = emit_seq(op, oend, anchor, (size_t)(ip - anchor),
-                          (size_t)m1.off, (size_t)m1.len);
+                          (size_t)cur.off, (size_t)cur.len);
             if (!op) return 0;
-            ip += m1.len; anchor = ip;
-            continue;
+            ip += cur.len; anchor = ip;
+            state = S_SCAN;
+            break;
         }
-
-        if (start0 < ip && start2 < ip + m0.len) {
-            /* squeezing m1 between m0 and m2: restore the original
-             * (lz4hc.c:1186-1189) */
-            ip = start0; m1 = m0;
+        if (s0 < ip && s2 < ip + saved.len) {
+            /* cur is squeezed between the saved slot and the overlap:
+             * restore the saved slot */
+            ip = s0; cur = saved;
         }
-        if (start2 - ip < 3) {       /* first match too small: drop it */
-            ip = start2; m1 = m2;
-            goto search2;
+        if (s2 - ip < 3) {
+            /* leading fragment too small to keep: promote the overlap
+             * and re-probe */
+            ip = s2; cur = ovl;
+            state = S_PAIR;
+            break;
         }
+        state = S_TRIPLE;
+        break;
+    }
 
-search3:
-        if (start2 - ip < OPTIMAL_ML) {
-            /* pre-trim m1 so it leaves >= MINMATCH of m2
-             * (lz4hc.c:1199-1210) */
-            int new_ml = m1.len;
-            if (new_ml > OPTIMAL_ML) new_ml = OPTIMAL_ML;
-            if (ip + new_ml > start2 + m2.len - MINMATCH)
-                new_ml = (int)(start2 - ip) + m2.len - MINMATCH;
-            {   int corr = new_ml - (int)(start2 - ip);
-                if (corr > 0) { start2 += corr; m2.len -= corr; }
-            }
+    case S_TRIPLE: {
+        const uint8_t *s3;
+        hcm_t ext;
+        /* tight overlap: pre-trim cur so it leaves >= MINMATCH of the
+         * overlap slot */
+        if (s2 - ip < OPTIMAL_ML) {
+            int w = cur.len < OPTIMAL_ML ? cur.len : OPTIMAL_ML;
+            int corr;
+            if (ip + w > s2 + ovl.len - MINMATCH)
+                w = (int)(s2 - ip) + ovl.len - MINMATCH;
+            corr = w - (int)(s2 - ip);
+            if (corr > 0) { s2 += corr; ovl.len -= corr; }
         }
-
-        if (start2 + m2.len <= mflimit) {
-            start3 = start2 + m2.len - 3;
-            m3 = lazy_search(t, base, &ni, start3 - base, start2 - base,
-                             matchlimit, m2.len, tries, pa, favor);
-            start3 -= m3.back;
-        } else { m3.len = 0; m3.off = 0; m3.back = 0; start3 = NULL; }
-
-        if (m3.len <= m2.len || m3.off == 0) {
-            /* no better third: emit m1 (trimmed to m2's start) then m2
-             * (lz4hc.c:1222-1239) */
-            if (start2 < ip + m1.len) m1.len = (int)(start2 - ip);
+        /* probe for a third match near the overlap's end */
+        if (s2 + ovl.len <= mflimit) {
+            s3 = s2 + ovl.len - 3;
+            ext = lazy_search(t, base, &ni, s3 - base, s2 - base,
+                              matchlimit, ovl.len, tries, pa, favor);
+            s3 -= ext.back;
+        } else {
+            ext.len = 0; ext.off = 0; ext.back = 0; s3 = NULL;
+        }
+        if (ext.len <= ovl.len || ext.off == 0) {
+            /* chain settled: commit cur (trimmed to the overlap) then
+             * the overlap, back to scanning */
+            if (s2 < ip + cur.len) cur.len = (int)(s2 - ip);
             op = emit_seq(op, oend, anchor, (size_t)(ip - anchor),
-                          (size_t)m1.off, (size_t)m1.len);
+                          (size_t)cur.off, (size_t)cur.len);
             if (!op) return 0;
-            anchor = ip + m1.len;
-            ip = start2;
+            anchor = ip + cur.len;
+            ip = s2;
             op = emit_seq(op, oend, anchor, (size_t)(ip - anchor),
-                          (size_t)m2.off, (size_t)m2.len);
+                          (size_t)ovl.off, (size_t)ovl.len);
             if (!op) return 0;
-            ip += m2.len; anchor = ip;
-            continue;
+            ip += ovl.len; anchor = ip;
+            state = S_SCAN;
+            break;
         }
-
-        if (start3 < ip + m1.len + 3) {
-            /* not enough room for m2 (lz4hc.c:1242-1270) */
-            if (start3 >= ip + m1.len) {
-                /* m2 removed; m3 becomes the next m1 */
-                if (start2 < ip + m1.len) {
-                    int corr = (int)(ip + m1.len - start2);
-                    start2 += corr; m2.len -= corr;
-                    if (m2.len < MINMATCH) { start2 = start3; m2 = m3; }
+        if (s3 < ip + cur.len + 3) {
+            /* the third starts too close to cur's end for the overlap
+             * to survive */
+            if (s3 >= ip + cur.len) {
+                /* overlap slot dies: commit cur, the third becomes the
+                 * new cur, what's left of the overlap becomes the
+                 * saved slot */
+                if (s2 < ip + cur.len) {
+                    int corr = (int)(ip + cur.len - s2);
+                    s2 += corr; ovl.len -= corr;
+                    if (ovl.len < MINMATCH) { s2 = s3; ovl = ext; }
                 }
                 op = emit_seq(op, oend, anchor, (size_t)(ip - anchor),
-                              (size_t)m1.off, (size_t)m1.len);
+                              (size_t)cur.off, (size_t)cur.len);
                 if (!op) return 0;
-                anchor = ip + m1.len;
-                ip = start3; m1 = m3;
-                start0 = start2; m0 = m2;
-                goto search2;
+                anchor = ip + cur.len;
+                ip = s3; cur = ext;
+                s0 = s2; saved = ovl;
+                state = S_PAIR;
+                break;
             }
-            start2 = start3; m2 = m3;
-            goto search3;
+            /* the third simply replaces the overlap; re-probe */
+            s2 = s3; ovl = ext;
+            state = S_TRIPLE;
+            break;
         }
-
-        /* three ascending matches: emit m1 (trimmed), shift the window
-         * (lz4hc.c:1277-1305) */
-        if (start2 < ip + m1.len) {
-            if (start2 - ip < OPTIMAL_ML) {
+        /* three ascending matches: commit a trimmed cur, then shift
+         * every slot down one and keep probing */
+        if (s2 < ip + cur.len) {
+            if (s2 - ip < OPTIMAL_ML) {
                 int corr;
-                if (m1.len > OPTIMAL_ML) m1.len = OPTIMAL_ML;
-                if (ip + m1.len > start2 + m2.len - MINMATCH)
-                    m1.len = (int)(start2 - ip) + m2.len - MINMATCH;
-                corr = m1.len - (int)(start2 - ip);
-                if (corr > 0) { start2 += corr; m2.len -= corr; }
+                if (cur.len > OPTIMAL_ML) cur.len = OPTIMAL_ML;
+                if (ip + cur.len > s2 + ovl.len - MINMATCH)
+                    cur.len = (int)(s2 - ip) + ovl.len - MINMATCH;
+                corr = cur.len - (int)(s2 - ip);
+                if (corr > 0) { s2 += corr; ovl.len -= corr; }
             } else {
-                m1.len = (int)(start2 - ip);
+                cur.len = (int)(s2 - ip);
             }
         }
         op = emit_seq(op, oend, anchor, (size_t)(ip - anchor),
-                      (size_t)m1.off, (size_t)m1.len);
+                      (size_t)cur.off, (size_t)cur.len);
         if (!op) return 0;
-        anchor = ip + m1.len;
-        ip = start2; m1 = m2;
-        start2 = start3; m2 = m3;
-        goto search3;
+        anchor = ip + cur.len;
+        ip = s2; cur = ovl;
+        s2 = s3; ovl = ext;
+        state = S_TRIPLE;
+        break;
+    }
     }
 
-last_literals:
     op = emit_final_literals(op, oend, anchor, (size_t)(iend - anchor));
     if (!op) return 0;
     return (long)(op - dst);
