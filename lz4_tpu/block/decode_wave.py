@@ -79,14 +79,33 @@ def _fetch_rows(win, idx, n, use_onehot):
     return jnp.concatenate(outs, 0)
 
 
-def _wave_kernel(warena_ref, out_ref, cw_buf, cw_sem, *, n_rows: int,
+def _wave_kernel(warena_ref, *refs, n_rows: int,
                  use_onehot: bool, near_rows: int = NEAR_ROWS,
-                 byte_phase: bool = False):
+                 byte_phase: bool = False, ring: bool = False):
     """warena_ref lives in HBM (the full arena + OUT would exceed
     VMEM); the current piece's fixed (WCAPW, 128) window is
     double-buffered into cw_buf by async DMA — the deterministic
     piece-k -> slot-k%2 schedule is exactly why the wave re-layout
-    pins comp addresses to output positions."""
+    pins comp addresses to output positions.
+
+    ring=True: OUT doubles as a 64 KB rolling history RING (the linked
+    /dict tier). The caller pre-loads OUT with the previous segment's
+    64 KB (input_output_aliases keeps it device-resident), absolute
+    output row r < 0 lives at slot n_rows + r, and the timing makes the
+    ring hazard-free: slot q is overwritten only at row q, after every
+    legal fetch of absolute row q - n_rows (offset <= 65535 < 64 Ki)
+    has already happened. Rows [0, near_rows) pay a second near-window
+    pass for the wrapped tail; the far escape masks its row index. The
+    splitter's offset validation (off <= pos + hist_len) guarantees no
+    fetch ever reaches rows older than the ring holds."""
+    if ring:
+        # the incoming ring lives in HBM (a VMEM alias would double the
+        # kernel's scoped VMEM past the 16 MB limit); one whole-array
+        # DMA seeds OUT with the history before any row runs
+        ring_ref, out_ref, cw_buf, cw_sem, ring_sem = refs
+        assert n_rows & (n_rows - 1) == 0, "ring needs a pow2 row count"
+    else:
+        out_ref, cw_buf, cw_sem = refs
     zero = jnp.zeros((1, LANES), jnp.int32)
     n_pieces = n_rows // RPP
 
@@ -114,7 +133,10 @@ def _wave_kernel(warena_ref, out_ref, cw_buf, cw_sem, *, n_rows: int,
         hi_p = jax.lax.shift_left(jax.lax.shift_left(hi, 31 - sh), 1)
         return lo_p | hi_p
 
-    def body(q, st):
+    def make_body(hist_near):
+        return functools.partial(body, hist_near=hist_near)
+
+    def body(q, st, hist_near=False):
         c, lr, pmn, mr, off = st
         k = q // RPP
         # ---- piece boundary: every lane's cursor jumps to the fixed
@@ -145,9 +167,28 @@ def _wave_kernel(warena_ref, out_ref, cw_buf, cw_sem, *, n_rows: int,
             [base + i for i in range(LA_WORDS)], 0)
         la = _fetch_rows(cw, la_idx, LA_WORDS, use_onehot)
 
-        # ---- near match window: the last near_rows rows of OUT
-        s0 = jnp.maximum(q - near_rows, 0)
-        ow = out_ref[pl.ds(s0, near_rows), :]
+        # ---- near match window: the last near_rows rows of OUT.
+        # Ring rows [0, near_rows) also slice the wrapped tail (the
+        # history) and select per-lane by the sign of the abs row.
+        far_lo = q - near_rows       # abs rows below this use the escape
+        if hist_near:
+            ow = out_ref[pl.ds(0, near_rows), :]
+            ow_hi = out_ref[pl.ds(n_rows - near_rows, near_rows), :]
+
+            def near_fetch(absrows, nf):
+                lo = _fetch_rows(ow, absrows, nf, use_onehot)
+                hi = _fetch_rows(ow_hi, absrows + near_rows, nf,
+                                 use_onehot)
+                return jnp.where(absrows >= 0, lo, hi)
+        else:
+            s0 = jnp.maximum(q - near_rows, 0)
+            ow = out_ref[pl.ds(s0, near_rows), :]
+
+            def near_fetch(absrows, nf):
+                return _fetch_rows(ow, absrows - s0, nf, use_onehot)
+
+        def far_rows(absrows):
+            return (absrows & (n_rows - 1)) if ring else absrows
 
         acc = zero
         fill = zero
@@ -207,17 +248,17 @@ def _wave_kernel(warena_ref, out_ref, cw_buf, cw_sem, *, n_rows: int,
                 # rates make this the right shape for unconstrained
                 # streams (see the trade note below)
                 sw = src0 >> 2
-                idx2 = jnp.concatenate([sw - s0, sw + 1 - s0], 0)
-                pair_near = _fetch_rows(ow, idx2, 2, use_onehot)
+                idx2 = jnp.concatenate([sw, sw + 1], 0)
+                pair_near = near_fetch(idx2, 2)
 
-                def far(_, sw=sw, pair_near=pair_near):
-                    idx2f = jnp.concatenate([sw, sw + 1], 0)
+                def far(_, sw=sw, idx2=idx2, pair_near=pair_near):
                     full = out_ref[pl.ds(0, n_rows), :]
-                    pf = _fetch_rows(full, idx2f, 2, use_onehot)
-                    near_ok = jnp.broadcast_to(sw >= s0, (2, LANES))
+                    pf = _fetch_rows(full, far_rows(idx2), 2,
+                                     use_onehot)
+                    near_ok = jnp.broadcast_to(sw >= far_lo, (2, LANES))
                     return jnp.where(near_ok, pair_near, pf)
 
-                far_any = jnp.any((t2 > 0) & (sw < s0))
+                far_any = jnp.any((t2 > 0) & (sw < far_lo))
                 pair = jax.lax.cond(far_any, far,
                                     lambda _: pair_near, 0)
                 for b in range(4):
@@ -253,16 +294,15 @@ def _wave_kernel(warena_ref, out_ref, cw_buf, cw_sem, *, n_rows: int,
             # straight-line near fetch per byte (52 ns at 512 rows);
             # word-reuse cond machinery measured SLOWER (any-lane rates
             # keep the conds taken — see perf notes)
-            idx1 = jnp.broadcast_to(swb - s0, (1, LANES))
-            w_near = _fetch_rows(ow, idx1, 1, use_onehot)
+            w_near = near_fetch(jnp.broadcast_to(swb, (1, LANES)), 1)
 
             def far(_, swb=swb, w_near=w_near):
                 full = out_ref[pl.ds(0, n_rows), :]
-                wf = _fetch_rows(full, jnp.broadcast_to(
-                    swb, (1, LANES)), 1, use_onehot)
-                return jnp.where(swb >= s0, w_near, wf)
+                wf = _fetch_rows(full, far_rows(jnp.broadcast_to(
+                    swb, (1, LANES))), 1, use_onehot)
+                return jnp.where(swb >= far_lo, w_near, wf)
 
-            far_any = jnp.any(is_m & (swb < s0))
+            far_any = jnp.any(is_m & (swb < far_lo))
             wv = jax.lax.cond(far_any, far, lambda _: w_near, 0)
             mb = jax.lax.shift_right_logical(wv, 8 * (srcb & 3)) & 255
             ab = jax.lax.shift_right_logical(
@@ -275,8 +315,19 @@ def _wave_kernel(warena_ref, out_ref, cw_buf, cw_sem, *, n_rows: int,
         return c, lr, pmn, mr, off
 
     piece_dma(0, 0).start()          # prologue: piece 0 in flight
+    if ring:
+        seed = pltpu.make_async_copy(ring_ref, out_ref, ring_sem)
+        seed.start()
+        seed.wait()
     init = (jnp.zeros((1, LANES), jnp.int32),) * 5
-    jax.lax.fori_loop(0, n_rows, body, init)
+    if ring:
+        # rows that can reach wrapped history pay the dual near pass;
+        # the rest run the plain body (static split, no per-row cond)
+        cut = min(near_rows, n_rows)
+        st = jax.lax.fori_loop(0, cut, make_body(True), init)
+        jax.lax.fori_loop(cut, n_rows, make_body(False), st)
+    else:
+        jax.lax.fori_loop(0, n_rows, make_body(False), init)
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "interpret",
@@ -299,6 +350,92 @@ def _wave_decode_raw(warena, *, n_rows: int, interpret: bool,
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(warena)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret",
+                                             "use_onehot", "near_rows",
+                                             "byte_phase"))
+def _wave_decode_ring_raw(warena, ring, *, n_rows: int, interpret: bool,
+                          use_onehot: bool, near_rows: int = NEAR_ROWS,
+                          byte_phase: bool = False):
+    """Linked/dict tier: OUT doubles as the 64 KB rolling history ring.
+    `ring` holds the previous segment's (n_rows, 128) output (or the
+    initial history) and is aliased into OUT, so successive segments
+    chain device-resident: call t+1 takes call t's result as `ring`."""
+    kern = functools.partial(_wave_kernel, n_rows=n_rows,
+                             use_onehot=use_onehot, near_rows=near_rows,
+                             byte_phase=byte_phase, ring=True)
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((2, WCAPW, LANES), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(warena, ring)
+
+
+def wave_decode_linked(streams: list[list[bytes]], *,
+                       interpret: bool | None = None,
+                       use_onehot: bool | None = None,
+                       byte_phase: bool = False) -> list[bytes]:
+    """Decode up to 128 LINKED streams in lockstep — each stream is a
+    list of raw LZ4 block bodies whose matches may reach up to 64 KB
+    back ACROSS block boundaries (-BD frames, LZ4F_updateDict analog,
+    lz4frame.c:1527-1592). Every non-final block of a stream must
+    decode to exactly 64 KB (the -BD4 frame shape); the final block may
+    be short. Returns each stream's concatenated output.
+
+    Segment t of every stream decodes in one ring-kernel call; the OUT
+    ring stays device-resident between calls, so the 64 KB carry never
+    leaves the chip (the device twin of the engine's ppermute history
+    rotation)."""
+    if not _HAVE_PALLAS:  # pragma: no cover
+        raise RuntimeError("pallas unavailable")
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    if use_onehot is None:
+        use_onehot = not interpret
+    from lz4_tpu import native
+    bc = native.blockcodec
+    B = len(streams)
+    assert B <= LANES
+    n_rows = 16384
+    NP = n_rows // RPP
+    rounds = max(len(s) for s in streams)
+    ring = jnp.zeros((n_rows, LANES), jnp.int32)
+    outs: list[list[bytes]] = [[] for _ in range(B)]
+    for t in range(rounds):
+        arenas = np.zeros((LANES, NP, WCAP), np.uint8)
+        out_lens = np.zeros(LANES, np.int64)
+        for j, s in enumerate(streams):
+            if t >= len(s):
+                continue
+            hist_len = 65536 if t > 0 else 0
+            r = bc.wave_split(s[t], max_pieces=NP, out_cap=65536,
+                              hist_len=hist_len)
+            if r is None:
+                raise ValueError(f"stream {j} block {t} not wave-able")
+            arena, out_len = r
+            if t + 1 < len(s) and out_len != 65536:
+                raise ValueError(
+                    f"stream {j}: non-final block decodes to "
+                    f"{out_len} != 64KB")
+            arenas[j, : arena.shape[0]] = arena
+            out_lens[j] = out_len
+        ring = _wave_decode_ring_raw(
+            jnp.asarray(pack_warena(arenas)), ring, n_rows=n_rows,
+            interpret=bool(interpret), use_onehot=bool(use_onehot),
+            byte_phase=bool(byte_phase))
+        flat = np.ascontiguousarray(np.asarray(ring).T).astype("<u4") \
+            .view(np.uint8).reshape(LANES, n_rows * 4)
+        for j in range(B):
+            if t < len(streams[j]):
+                outs[j].append(flat[j, : out_lens[j]].tobytes())
+    return [b"".join(o) for o in outs]
 
 
 def pack_warena(arenas: np.ndarray) -> np.ndarray:

@@ -98,7 +98,9 @@ def _encode_wave_kernel(inp_ref, lens_ref, dec_ref, table, stage,
     zero = jnp.zeros((1, LANES), jnp.int32)
     lens = lens_ref[...]
     hash_rows = 1 << hash_bits
-    win_rows = max_dist // 4 + 1
+    # window must cover src in [q - max_dist, q] for every sub-phase:
+    # (4i+sub-max_dist)>>2 >= i - (max_dist>>2) - 1, hence the +2
+    win_rows = max_dist // 4 + 2
 
     def chunk_dma(c, slot):
         return pltpu.make_async_copy(

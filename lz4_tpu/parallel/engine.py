@@ -360,11 +360,18 @@ class TpuBackend:
         # bench's on-chip stage, interpret-mode coverage).
         self.decode_dest = os.environ.get("LZ4_TPU_DECODE_DEST", "auto")
         # 128-lane lockstep wavefront decode tier (block/decode_wave.py):
-        # 477 MB/s on distance-capped streams, ~75 MB/s at the measured
+        # 559 MB/s on distance-capped streams, ~76 MB/s at the measured
         # far-law floor on unconstrained real data (tpu_perf_notes) —
-        # opt-in until it robustly beats the serial kernel everywhere
+        # DEFAULT-ON since round 5 (r4 verdict #2): it beats the serial
+        # kernel on every qualifying stream class (<= 64 KB independent
+        # no-dict blocks), and the splitter auto-falls-back otherwise
         self.wave_decode = bool(int(os.environ.get(
-            "LZ4_TPU_WAVE_DECODE", "0")))
+            "LZ4_TPU_WAVE_DECODE", "1")))
+        # 128-lane lockstep wavefront ENCODE tier (block/encode_wave.py):
+        # 676 MB/s on-chip at cap 2 KB / 1.26x uncapped size — serves
+        # --max-dist fast-mode batches (<= 64 KB blocks, no dict)
+        self.wave_encode = bool(int(os.environ.get(
+            "LZ4_TPU_WAVE_ENCODE", "1")))
         # no-dict fast-tier encode rides the Pallas serial kernel
         # (block/encode_pallas.py): 1.6-2x the sort/scan graphs on-chip,
         # second-scale compiles, real --fast support
@@ -570,11 +577,19 @@ class TpuBackend:
             return []
         if max_dist < 65535:
             # distance-capped fast mode (wave-friendly streams): the
-            # Pallas fast kernel takes max_dist as a static knob
+            # 128-lane lockstep wave match finder when it qualifies
+            # (676 MB/s on-chip vs the serial kernel's ~45), else the
+            # serial Pallas kernel with its max_dist knob
             if (level < 2 and self._pallas_platform_ok()
                     and self.pallas_encode and self.codec is None
                     and (dict_prefixes is None or not any(dict_prefixes))
                     and max(len(b) for b in blocks) <= 65536):
+                if self.wave_encode:
+                    from lz4_tpu.block.encode_wave import \
+                        encode_wave_batch
+                    interp = jax.devices()[0].platform == "cpu"
+                    return encode_wave_batch(blocks, interpret=interp,
+                                             max_dist=max_dist)
                 return self._compress_pallas_maxd(
                     blocks, acceleration=acceleration, max_dist=max_dist)
             return self._host().compress_batch(

@@ -104,6 +104,26 @@ def test_max_dist_knob():
         assert _walk_max_offset(s) <= md
 
 
+def test_engine_wave_encode_route(monkeypatch):
+    """TpuBackend routes --max-dist fast-mode batches through the wave
+    match finder (default-on), round-tripping through the default-on
+    wave decode tier and the strict host decoder."""
+    monkeypatch.setenv("LZ4_TPU_PALLAS_CPU", "1")
+    from lz4_tpu.parallel.engine import TpuBackend
+    from lz4_tpu.utils.datagen import mixed_corpus
+    be = TpuBackend()
+    assert be.wave_encode and be.wave_decode      # round-5 defaults
+    srcs = [mixed_corpus(30000 + 1000 * i, seed=90 + i)
+            for i in range(4)]
+    comps = be.compress_batch(srcs, level=1, max_dist=2000)
+    for s, c in zip(srcs, comps):
+        assert _walk_max_offset(c) <= 2000
+        assert decompress_block(c, len(s)) == s
+    # engine wave decode of its own wave-encoded streams
+    out = be.decompress_batch(comps, [len(s) for s in srcs])
+    assert out == srcs
+
+
 def test_onehot_equals_take_along_axis():
     """The production one-hot select path must agree with the interpret
     take_along_axis path (decode_wave pins the same equivalence)."""
