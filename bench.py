@@ -427,6 +427,57 @@ def main() -> None:
     except Exception as e:
         _log(f"wave decode stage skipped: {e}")
 
+    # linked/dict ring tier (decode_wave.wave_decode_linked): 128
+    # linked streams (3 x 64 KB blocks each) in lockstep, the 64 KB
+    # carry riding the device-resident OUT ring between segments
+    wave_linked_mbs = None
+    try:
+        if jax.devices()[0].platform == "tpu" and n >= 48 * 1024 * 1024:
+            from lz4_tpu import native
+            from lz4_tpu.block.decode_wave import (WCAP,
+                                                   _wave_decode_ring_raw,
+                                                   pack_warena)
+            bcn = native.blockcodec
+            arsets = []
+            totalL = 0
+            for t in range(3):
+                arenas = np.zeros((128, 64, WCAP), np.uint8)
+                for j in range(128):
+                    seg = data[j * 376832 + t * 65536:
+                               j * 376832 + (t + 1) * 65536]
+                    hist = data[j * 376832 + (t - 1) * 65536:
+                                j * 376832 + t * 65536] if t else b""
+                    comp = bcn.compress_maxd(seg, 2000,
+                                             dict_prefix=hist or None)
+                    r = bcn.wave_split(comp, max_pieces=64,
+                                       out_cap=65536,
+                                       hist_len=65536 if t else 0)
+                    arenas[j, : r[0].shape[0]] = r[0]
+                    totalL += len(seg)
+                arsets.append(jnp.asarray(pack_warena(arenas)))
+
+            def chain():
+                ring = jnp.zeros((16384, 128), jnp.int32)
+                for wa in arsets:
+                    ring = _wave_decode_ring_raw(
+                        wa, ring, n_rows=16384, interpret=False,
+                        use_onehot=True, byte_phase=True)
+                return ring
+
+            r0 = chain()
+            np.asarray(r0[-1, -1])
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                rs = [chain() for _ in range(4)]
+                np.asarray(rs[-1][-1, -1])
+                best = min(best, (time.perf_counter() - t0 - 0.0245) / 4)
+            wave_linked_mbs = round(totalL / 1e6 / best, 1)
+            _log(f"wave linked decode (2KB-capped, ring carry): "
+                 f"{wave_linked_mbs} MB/s")
+    except Exception as e:
+        _log(f"wave linked stage skipped: {e}")
+
     # 128-lane lockstep wavefront ENCODE (block/encode_wave.py): the
     # round-5 lane-parallel match finder — kernel MB/s on one 128x64KB
     # batch plus the size cost of its 2 KB offset cap (reported as a
@@ -650,6 +701,7 @@ def main() -> None:
             "wave_decode_MBs": wave_mbs,
             "wave_maxd2k_decode_MBs": wave_maxd_mbs,
             "wave_maxd2k_size_vs_uncapped": wave_maxd_ratio,
+            "wave_linked_maxd2k_MBs": wave_linked_mbs,
             "wave_encode_MBs": wave_enc_mbs,
             "wave_encode_size_vs_uncapped": wave_enc_ratio,
             "wave_emit_host_MBs": wave_emit_mbs,

@@ -98,12 +98,21 @@ class FrameDecompressor:
         block's output as history."""
         data = bytes(data)
         out = bytearray()
+        fast = None        # zero-copy single-buffer pump fast path
         consumed = 0
         while self._stage != self._DONE:
             if self._stage == self._PUMP:
-                produced, used = self._pump_feed(data, consumed)
+                pieces, used = self._pump_feed(data, consumed)
                 consumed += used
-                out += produced
+                if pieces:
+                    if not out and fast is None and len(pieces) == 1:
+                        fast = pieces[0]
+                    else:
+                        if fast is not None:
+                            out += fast
+                            fast = None
+                        for p in pieces:
+                            out += p
                 if self._stage == self._PUMP:
                     break          # everything consumable is consumed
                 continue
@@ -130,7 +139,14 @@ class FrameDecompressor:
             out += self._step(chunk)
         out_flush = self._flush_batch()
         if out_flush:
+            if fast is not None:
+                out += fast
+                fast = None
             out += out_flush
+        if fast is not None:
+            # hand the pump's buffer through untouched (the writer
+            # accepts any buffer; len()/slicing behave like bytes)
+            return fast, consumed
         return bytes(out), consumed
 
     # ------------------------------------------------------------- stages
@@ -329,14 +345,14 @@ class FrameDecompressor:
         else:
             self._need = 4
 
-    def _pump_feed(self, data: bytes, start: int) -> tuple[bytes, int]:
-        """Drive the C walker over data[start:]; returns (decoded,
-        consumed). Consumes every complete unit; buffers any sub-unit
-        tail into self._buf for the next feed."""
+    def _pump_feed(self, data: bytes, start: int) -> tuple[list, int]:
+        """Drive the C walker over data[start:]; returns (list of
+        decoded buffers, consumed). Consumes every complete unit;
+        buffers any sub-unit tail into self._buf for the next feed."""
         bc = self._pump_bc
         st = self._pump_state
         pos = start
-        out = bytearray()
+        out: list = []
         out_cap = max(2 * self._info.block_max_size, 1 << 22)
         while self._stage == self._PUMP:
             if self._buf:
@@ -350,7 +366,8 @@ class FrameDecompressor:
                 del self._buf[:]
                 status, produced, used = bc.frame_pump(st, chunk, 0,
                                                        out_cap)
-                out += produced
+                if len(produced):
+                    out.append(produced)
                 self._total_out += len(produced)
                 if status < 0:
                     self._pump_raise(status)
@@ -366,7 +383,8 @@ class FrameDecompressor:
             status, produced, used = bc.frame_pump(st, data, pos,
                                                    out_cap)
             pos += used
-            out += produced
+            if len(produced):
+                out.append(produced)
             self._total_out += len(produced)
             if status < 0:
                 self._pump_raise(status)
@@ -385,7 +403,7 @@ class FrameDecompressor:
             pos += take
             if len(self._buf) < self._need:
                 break
-        return bytes(out), pos - start
+        return out, pos - start
 
     def _on_content_checksum(self, chunk: bytes) -> bytes:
         want = struct.unpack("<I", chunk)[0]

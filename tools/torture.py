@@ -159,6 +159,38 @@ def main() -> int:
         return wave_decode_batch(arenas, [ol],
                                  byte_phase=_rnd.random() < 0.5)[0]
 
+    def wave_linked_check(r):
+        """Random linked stream (exact-64KB blocks + short tail, capped
+        or full-window offsets, random histories) through the ring tier
+        vs the chained host decode. On-chip only: the 16384-row ring in
+        interpret mode costs seconds per call (test_frame_batch.py
+        covers the interpret path)."""
+        from lz4_tpu import native as _native
+        from lz4_tpu.block.decode_wave import wave_decode_linked
+        bc = _native.blockcodec
+        nblk = r.randrange(1, 4)
+        tail = r.choice([0, 13, 5000])
+        raw = b"".join(rand_payload(r) for _ in range(6))
+        reps = -(-(nblk * 65536 + tail) // max(1, len(raw)))
+        raw = (raw * (reps + 1))[: nblk * 65536 + tail]
+        if len(raw) < nblk * 65536 + tail:
+            raw = raw + bytes(nblk * 65536 + tail - len(raw))
+        maxd = r.choice([0, 2000])
+        blocks, hist = [], b""
+        for off in range(0, len(raw), 65536):
+            seg = raw[off: off + 65536]
+            if not seg:
+                break
+            if maxd:
+                blocks.append(bc.compress_maxd(
+                    seg, maxd, dict_prefix=hist or None))
+            else:
+                blocks.append(bc.compress(seg, dict_prefix=hist or None))
+            hist = (hist + seg)[-65536:]
+        outs = wave_decode_linked([blocks],
+                                  byte_phase=r.random() < 0.5)
+        assert outs[0] == raw, "wave linked mismatch"
+
     def ref_decode(comp, cap, d):
         try:
             return ref_oracle.ref_decompress_block(comp, cap,
@@ -216,6 +248,10 @@ def main() -> int:
             if args.wave and d is None and 0 < len(raw) <= 8192:
                 wv = wave_decode(comp, len(raw))
                 assert wv == raw, f"wave decode mismatch (seed {cseed})"
+            if args.wave and not args.cpu and r.random() < 0.1:
+                import jax as _j
+                if _j.devices()[0].platform == "tpu":
+                    wave_linked_check(r)
 
             # --- differential decode of a MUTATED stream -------------
             if len(comp) > 4 and oracle:
