@@ -168,6 +168,36 @@ def linked_encode_step(src, lens, head_dict, head_dict_len, *, cap_n,
 
 
 # ---------------------------------------------------------------------------
+# sharded wave tiers: lane batches are independent, so the mesh simply
+# multiplies the 128-lane lockstep kernels across devices (one kernel
+# instance per device, zero collectives — linear scaling by design)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret",
+                                             "use_onehot", "max_dist",
+                                             "hash_bits", "mesh",
+                                             "axis"))
+def wave_encode_sharded(inps, lens, *, n_rows: int, interpret: bool,
+                        use_onehot: bool, max_dist: int,
+                        hash_bits: int, mesh: Mesh, axis: str = "data"):
+    """inps int32 (D, n_rows + 8, 128), lens int32 (D, 1, 128) sharded
+    over the mesh -> decisions int32 (D, n_rows, 128): every device
+    runs the lockstep wave match finder on its own 128-block batch."""
+    from jax import shard_map
+
+    from lz4_tpu.block.encode_wave import _encode_wave_raw
+
+    def step(inp, ln):
+        return _encode_wave_raw(
+            inp[0], ln[0], n_rows=n_rows, interpret=interpret,
+            use_onehot=use_onehot, max_dist=max_dist,
+            hash_bits=hash_bits)[None]
+
+    return shard_map(step, mesh=mesh, in_specs=(P(axis), P(axis)),
+                     out_specs=P(axis), check_vma=False)(inps, lens)
+
+
+# ---------------------------------------------------------------------------
 # segmented big-block encode: seam folding
 # ---------------------------------------------------------------------------
 #

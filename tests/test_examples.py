@@ -20,6 +20,7 @@ EXAMPLES = [
     "frame_compress",
     "bench_functions",
     "sharded_batch",
+    "turbo_wave_mode",
 ]
 
 

@@ -119,3 +119,34 @@ def test_corpus_scan_wrappers():
     got = np.asarray(o3).reshape(NC * B, -1)
     for i, d in enumerate(data):
         assert got[i, :bs].tobytes() == d
+
+
+def test_wave_encode_sharded_mesh():
+    """One lockstep wave-encode kernel instance per mesh device (zero
+    collectives); decisions emit + round-trip per shard."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from lz4_tpu.block.encode_wave import emit_from_decisions, pack_input
+    from lz4_tpu.block.ref_codec import decompress_block
+    from lz4_tpu.parallel.engine import wave_encode_sharded
+    from lz4_tpu.utils.datagen import mixed_corpus
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs), ("data",))
+    D = len(devs)
+    n_rows = 1024
+    blocks = [mixed_corpus(4096, seed=300 + i) for i in range(D)]
+    inp = np.zeros((D, n_rows + 8, 128), np.int32)
+    lens = np.zeros((D, 1, 128), np.int32)
+    for i, b in enumerate(blocks):
+        inp[i], lens[i] = pack_input([b], n_rows)
+    shard = NamedSharding(mesh, P("data"))
+    dec = np.asarray(wave_encode_sharded(
+        jax.device_put(inp, shard), jax.device_put(lens, shard),
+        n_rows=n_rows, interpret=True, use_onehot=False,
+        max_dist=2048, hash_bits=9, mesh=mesh))
+    for i, b in enumerate(blocks):
+        s = emit_from_decisions(b, dec[i, :, 0])
+        assert decompress_block(s, len(b)) == b
