@@ -65,7 +65,11 @@ except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
 LANES = 128
-HASH_BITS = 9              # log2 buckets per lane (x2 candidates packed)
+#: log2 buckets per lane (x2 candidates packed). Default 10: measured
+#: 455 MB/s at 1.2308x the uncapped size — UNDER the host C capped
+#: encoder's 1.2401x, and ~1.22x vs the reference encoder. hash_bits=9
+#: trades to 676 MB/s at 1.2627x; full curve in docs/tpu_perf_notes.md.
+HASH_BITS = 10
 MAX_DIST = 2048            # offset cap: matches stay in the near window
 CHUNK_ROWS = 256           # decision rows staged per DMA
 MAX_MLEN = 16384           # force-end bound (14-bit mlen field)

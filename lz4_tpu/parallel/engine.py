@@ -615,11 +615,15 @@ class TpuBackend:
                     and (dict_prefixes is None or not any(dict_prefixes))
                     and max(len(b) for b in blocks) <= 65536):
                 if self.wave_encode:
-                    from lz4_tpu.block.encode_wave import \
-                        encode_wave_batch
+                    import os
+                    from lz4_tpu.block.encode_wave import (
+                        HASH_BITS, encode_wave_batch)
                     interp = jax.devices()[0].platform == "cpu"
+                    hb = int(os.environ.get("LZ4_TPU_WAVE_HASH_BITS",
+                                            str(HASH_BITS)))
                     return encode_wave_batch(blocks, interpret=interp,
-                                             max_dist=max_dist)
+                                             max_dist=max_dist,
+                                             hash_bits=hb)
                 return self._compress_pallas_maxd(
                     blocks, acceleration=acceleration, max_dist=max_dist)
             return self._host().compress_batch(
