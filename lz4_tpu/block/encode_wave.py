@@ -103,8 +103,10 @@ def _encode_wave_kernel(inp_ref, lens_ref, dec_ref, table, stage,
     lens = lens_ref[...]
     hash_rows = 1 << hash_bits
     # window must cover src in [q - max_dist, q] for every sub-phase:
-    # (4i+sub-max_dist)>>2 >= i - (max_dist>>2) - 1, hence the +2
-    win_rows = max_dist // 4 + 2
+    # (4i+sub-max_dist)>>2 >= i - (max_dist>>2) - 1, hence the +2 —
+    # clamped to the input itself for caps wider than the block tier
+    # (s0 then pins to 0 and the window is the whole array)
+    win_rows = min(max_dist // 4 + 2, n_rows + 1)
 
     def chunk_dma(c, slot):
         return pltpu.make_async_copy(

@@ -356,11 +356,6 @@ def main(argv: list[str] | None = None) -> int:
                 del got
             else:
                 raise CliError(f"unknown option -{c}")
-    if prefs.max_dist < 65535 and prefs.level >= 2:
-        # the cap is honoured by the fast tier only; refuse rather than
-        # silently emitting uncapped offsets (advisor r4 finding)
-        raise CliError("--max-dist applies to levels 0/1 only "
-                       "(the fast tier); drop the -# level or the cap")
     return _dispatch(mode, prefs, files, multiple, recursive,
                      force_stdout, backend_name, bench_levels)
 
@@ -394,6 +389,14 @@ def _dispatch(mode, prefs, files, multiple, recursive, force_stdout,
     if mode == "test":
         prefs.test_mode = True
         mode = "decompress"
+
+    if mode == "compress" and prefs.max_dist < 65535 and prefs.level >= 2:
+        # the cap is honoured by the fast tier only; refuse rather than
+        # silently emitting uncapped offsets (advisor r4 finding). Both
+        # flags are no-ops on decompression, matching the reference's
+        # leniency there.
+        raise CliError("--max-dist applies to levels 0/1 only "
+                       "(the fast tier); drop the -# level or the cap")
 
     # console-safety refusals (lz4cli.c:771-828)
     if mode == "compress" and force_stdout is False and files[0] == "-" \

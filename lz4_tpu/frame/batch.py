@@ -48,12 +48,18 @@ def _walk_frame(frame: bytes):
         raw_flags.append(bool(word & BLOCK_UNCOMPRESSED_FLAG))
         pos += size
         if info.block_checksum:
+            if pos + 4 > len(frame):
+                raise FrameError("frameDecoding_alreadyStarted",
+                                 "truncated block checksum")
             want = struct.unpack("<I", frame[pos: pos + 4])[0]
             if xxh32(payloads[-1], 0) != want:
                 raise FrameError("blockChecksum_invalid")
             pos += 4
     csum = None
     if info.content_checksum:
+        if pos + 4 > len(frame):
+            raise FrameError("frameDecoding_alreadyStarted",
+                             "truncated content checksum")
         csum = struct.unpack("<I", frame[pos: pos + 4])[0]
         pos += 4
     return info, payloads, raw_flags, csum, pos

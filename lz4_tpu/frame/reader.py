@@ -53,10 +53,16 @@ class FrameDecompressor:
 
     def __init__(self, *, backend: BlockBackend | None = None,
                  dict_content: bytes | None = None,
-                 verify_checksums: bool = True):
+                 verify_checksums: bool = True,
+                 zero_copy: bool = False):
         self.backend = backend or default_backend()
         self._dict = bytes(dict_content or b"")
         self.verify_checksums = verify_checksums
+        # zero_copy=True lets feed() return a memoryview over the
+        # native pump's per-call arena (no copy; the view pins the
+        # arena). The I/O engine opts in; the default keeps the
+        # documented bytes contract for external callers.
+        self.zero_copy = zero_copy
         self.reset()
 
     def reset(self) -> None:
@@ -144,9 +150,9 @@ class FrameDecompressor:
                 fast = None
             out += out_flush
         if fast is not None:
-            # hand the pump's buffer through untouched (the writer
-            # accepts any buffer; len()/slicing behave like bytes)
-            return fast, consumed
+            # zero-copy mode hands the pump's buffer through untouched
+            # (the engine's writer accepts any buffer)
+            return (fast if self.zero_copy else bytes(fast)), consumed
         return bytes(out), consumed
 
     # ------------------------------------------------------------- stages
@@ -364,8 +370,11 @@ class FrameDecompressor:
                     break
                 chunk = bytes(self._buf)
                 del self._buf[:]
-                status, produced, used = bc.frame_pump(st, chunk, 0,
-                                                       out_cap)
+                # a buffered unit decodes at most one block: size the
+                # arena to the tier, not the bulk cap (streamed feeds
+                # would otherwise allocate 4 MB per 64 KB block)
+                status, produced, used = bc.frame_pump(
+                    st, chunk, 0, self._info.block_max_size)
                 if len(produced):
                     out.append(produced)
                 self._total_out += len(produced)

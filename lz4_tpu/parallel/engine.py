@@ -619,8 +619,12 @@ class TpuBackend:
                     from lz4_tpu.block.encode_wave import (
                         HASH_BITS, encode_wave_batch)
                     interp = jax.devices()[0].platform == "cpu"
+                    # --fast=N maps to the speed-leaning table size
+                    # (the lockstep kernel has no skip stride — its
+                    # cost knob is the hash table scan)
+                    hb_default = 9 if acceleration > 1 else HASH_BITS
                     hb = int(os.environ.get("LZ4_TPU_WAVE_HASH_BITS",
-                                            str(HASH_BITS)))
+                                            str(hb_default)))
                     return encode_wave_batch(blocks, interpret=interp,
                                              max_dist=max_dist,
                                              hash_bits=hb)
