@@ -91,14 +91,28 @@ def _fetch_rows(win, idx, n, use_onehot):
     return jnp.concatenate(outs, 0)
 
 
-def _encode_wave_kernel(inp_ref, lens_ref, dec_ref, table, stage,
-                        out_sem, *, n_rows: int, use_onehot: bool,
-                        max_dist: int, hash_bits: int):
+def _encode_wave_kernel(inp_ref, lens_ref, *refs, n_rows: int,
+                        use_onehot: bool, max_dist: int,
+                        hash_bits: int, linked: bool = False):
     """inp_ref: VMEM (n_rows + 8, 128) int32 interleaved input words;
     lens_ref: VMEM (1, 128) int32 per-lane block lengths;
     dec_ref: ANY/HBM (n_rows, 128) int32 decisions out;
-    table: VMEM (HASH_ROWS, 128) scratch; stage: VMEM
-    (2 * CHUNK_ROWS, 128) decision staging, DMA'd out per chunk."""
+    table: VMEM (hash_rows, 128) scratch; stage: VMEM
+    (2 * CHUNK_ROWS, 128) decision staging, DMA'd out per chunk.
+
+    linked=True adds hist_ref (win_rows, 128) — the tail of each
+    lane's 64 KB history — and hlen_ref (1, 128): matches may start up
+    to max_dist bytes BEFORE the block (LZ4 prefix-dict semantics).
+    The table works in mod-2^16 byte coordinates, history positions
+    included; a warmup pass seeds it from the history tail, so nothing
+    persists across segment calls. Stale aliased entries are harmless
+    by construction: every candidate is VERIFIED byte-by-byte against
+    the actual window, so aliasing can only cost ratio, never
+    correctness."""
+    if linked:
+        hist_ref, hlen_ref, dec_ref, table, stage, out_sem = refs
+    else:
+        dec_ref, table, stage, out_sem = refs
     zero = jnp.zeros((1, LANES), jnp.int32)
     lens = lens_ref[...]
     hash_rows = 1 << hash_bits
@@ -118,9 +132,49 @@ def _encode_wave_kernel(inp_ref, lens_ref, dec_ref, table, stage,
     # distance-validity test at every in-range q
     table[...] = jnp.full((hash_rows, LANES), -1, jnp.int32)
 
-    def iter_body(i, st):
-        # st: mode (0 scan / 1 match), cand (abs src start), a (match
-        # start), all (1, 128) int32
+    if linked:
+        hl = hlen_ref[...]
+        hist_win = hist_ref[...]              # (win_rows, 128) tail
+
+        # ---- warmup: seed the table from the history tail so matches
+        # may start up to max_dist bytes before the block. Positions
+        # are stored mod 2^16 (negative bytes included); the last
+        # history row is skipped (its 4-gram spans into the block —
+        # a <=7-byte coverage loss).
+        def warm_body(hr, _):
+            hw0 = hist_ref[pl.ds(hr, 1), :]
+            hw1 = hist_ref[pl.ds(hr + 1, 1), :]
+            for sub in range(4):
+                p = -4 * win_rows + 4 * hr + sub
+                if sub == 0:
+                    hcur = hw0
+                else:
+                    hsh = 8 * sub
+                    hcur = jax.lax.shift_right_logical(hw0, hsh) | \
+                        jax.lax.shift_left(
+                            jax.lax.shift_left(hw1, 31 - hsh), 1)
+                hh = jax.lax.shift_right_logical(
+                    hcur * KNUTH, 32 - hash_bits)
+                hok = jnp.broadcast_to(p >= -hl, (1, LANES))
+                hrows = jax.lax.broadcasted_iota(
+                    jnp.int32, (hash_rows, LANES), 0)
+                hoh = (hrows == hh) & hok
+                table[...] = jnp.where(
+                    hoh,
+                    jax.lax.shift_left(table[...], 16) | (p & 0xFFFF),
+                    table[...])
+            return 0
+
+        jax.lax.fori_loop(0, win_rows - 1, warm_body, 0)
+    else:
+        hl = zero
+
+    def make_body(hist_near):
+        return functools.partial(iter_body, hist_near=hist_near)
+
+    def iter_body(i, st, hist_near=False):
+        # st: mode (0 scan / 1 match), cand (abs src start, negative =
+        # history), a (match start), all (1, 128) int32
         mode, cand, a = st
 
         # uniform input rows: words covering x[4i .. 4i+7]
@@ -150,9 +204,18 @@ def _encode_wave_kernel(inp_ref, lens_ref, dec_ref, table, stage,
             ent = _fetch_rows(table[...], h, 1, use_onehot)
             c1 = ent & 0xFFFF
             c2 = jax.lax.shift_right_logical(ent, 16) & 0xFFFF
-            ok1 = (q - c1 >= 1) & (q - c1 <= max_dist)
-            ok2 = (q - c2 >= 1) & (q - c2 <= max_dist)
-            cnd = jnp.where(ok1, c1, c2)
+            if linked:
+                # mod-2^16 distances; candidates may sit inside the
+                # available history (d <= q + hlen)
+                d1 = (q - c1) & 0xFFFF
+                d2 = (q - c2) & 0xFFFF
+                ok1 = (d1 >= 1) & (d1 <= max_dist) & (d1 <= q + hl)
+                ok2 = (d2 >= 1) & (d2 <= max_dist) & (d2 <= q + hl)
+                cnd = q - jnp.where(ok1, d1, d2)
+            else:
+                ok1 = (q - c1 >= 1) & (q - c1 <= max_dist)
+                ok2 = (q - c2 >= 1) & (q - c2 <= max_dist)
+                cnd = jnp.where(ok1, c1, c2)
             cok = ok1 | ok2
 
             # ---- insert q (all lanes, in-range positions only): new
@@ -172,8 +235,16 @@ def _encode_wave_kernel(inp_ref, lens_ref, dec_ref, table, stage,
 
             # ---- verify/extend byte: x[cand + (q - a)] vs x[q]
             src = cand + (q - a)
-            srow = jax.lax.shift_right_logical(src, 2)
-            mb_w = _fetch_rows(win, srow - s0, 1, use_onehot)
+            srow = jax.lax.shift_right_arithmetic(src, 2)
+            if hist_near:
+                # early rows: src may be negative (history); fetch
+                # both windows and select by sign
+                lo = _fetch_rows(win, srow - s0, 1, use_onehot)
+                hi = _fetch_rows(hist_win, srow + win_rows, 1,
+                                 use_onehot)
+                mb_w = jnp.where(srow >= 0, lo, hi)
+            else:
+                mb_w = _fetch_rows(win, srow - s0, 1, use_onehot)
             mb = jax.lax.shift_right_logical(mb_w, 8 * (src & 3)) & 255
             # LASTLITERALS: matches may not extend into the final 5;
             # 14-bit mlen field: force-end at 16 KB (a mega-run chains)
@@ -206,7 +277,13 @@ def _encode_wave_kernel(inp_ref, lens_ref, dec_ref, table, stage,
         return mode, cand, a
 
     init = (zero, zero, zero)
-    jax.lax.fori_loop(0, n_rows, iter_body, init)
+    if linked:
+        # rows whose window can reach history run the dual-fetch body
+        cut = min(win_rows - 1, n_rows)
+        st = jax.lax.fori_loop(0, cut, make_body(True), init)
+        jax.lax.fori_loop(cut, n_rows, make_body(False), st)
+    else:
+        jax.lax.fori_loop(0, n_rows, make_body(False), init)
     # drain the last two in-flight chunk DMAs
     nch = n_rows // CHUNK_ROWS
 
@@ -239,6 +316,98 @@ def _encode_wave_raw(inp, lens, *, n_rows: int, interpret: bool,
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(inp, lens)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret",
+                                             "use_onehot", "max_dist",
+                                             "hash_bits"))
+def _encode_wave_linked_raw(inp, lens, hist, hlen, *, n_rows: int,
+                            interpret: bool, use_onehot: bool,
+                            max_dist: int = MAX_DIST,
+                            hash_bits: int = HASH_BITS):
+    """Linked variant: hist int32 (win_rows, 128) = each lane's
+    history tail (right-aligned), hlen int32 (1, 128) its byte
+    length. Matches may start up to max_dist bytes before the block
+    (LZ4 prefix-dict semantics)."""
+    kern = functools.partial(_encode_wave_kernel, n_rows=n_rows,
+                             use_onehot=use_onehot, max_dist=max_dist,
+                             hash_bits=hash_bits, linked=True)
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1 << hash_bits, LANES), jnp.int32),
+                        pltpu.VMEM((2 * CHUNK_ROWS, LANES), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(inp, lens, hist, hlen)
+
+
+def encode_wave_linked(streams: list[list[bytes]], *,
+                       interpret: bool | None = None,
+                       use_onehot: bool | None = None,
+                       max_dist: int = MAX_DIST,
+                       hash_bits: int = HASH_BITS,
+                       emitter=None) -> list[list[bytes]]:
+    """Encode up to 128 LINKED streams in lockstep: lane j's block t
+    sees the tail of its stream's earlier bytes as history, so matches
+    reach across block boundaries (LZ4_compress_fast_continue prefix
+    semantics, lz4.c:1707) — the encode side of the -BD wave story.
+    Returns per-stream lists of standard LZ4 block streams, each
+    decodable against its predecessor's tail as dict."""
+    if not _HAVE_PALLAS:  # pragma: no cover
+        raise RuntimeError("pallas unavailable")
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    if use_onehot is None:
+        use_onehot = not interpret
+    if emitter is None:
+        try:
+            from lz4_tpu import native
+            emitter = native.blockcodec.wave_emit_decisions
+        except ImportError:
+            pass
+    B = len(streams)
+    assert B <= LANES
+    rounds = max(len(s) for s in streams)
+    outs: list[list[bytes]] = [[] for _ in streams]
+    for t in range(rounds):
+        blocks = [s[t] if t < len(s) else b"" for s in streams]
+        mx = max(len(b) for b in blocks)
+        n_rows = 1024
+        while n_rows * 4 < mx:
+            n_rows *= 4
+        wr = min(max_dist // 4 + 2, n_rows + 1)
+        inp, lens = pack_input(blocks, n_rows)
+        hbuf = np.zeros((LANES, wr * 4), np.uint8)
+        hlen = np.zeros((1, LANES), np.int32)
+        if t > 0:
+            for j, s in enumerate(streams):
+                hs = b"".join(s[:t])[-(wr * 4):]
+                if hs:
+                    hbuf[j, wr * 4 - len(hs):] = np.frombuffer(
+                        hs, np.uint8)
+                    hlen[0, j] = len(hs)
+        hw = hbuf.reshape(LANES, wr, 4).astype(np.int32)
+        hwords = np.ascontiguousarray(
+            (hw[..., 0] | (hw[..., 1] << 8) | (hw[..., 2] << 16)
+             | (hw[..., 3] << 24)).T)
+        dec = np.asarray(_encode_wave_linked_raw(
+            jnp.asarray(inp), jnp.asarray(lens), jnp.asarray(hwords),
+            jnp.asarray(hlen), n_rows=n_rows, interpret=bool(interpret),
+            use_onehot=bool(use_onehot), max_dist=int(max_dist),
+            hash_bits=int(hash_bits)))
+        decT = np.ascontiguousarray(dec.T)
+        if emitter is not None:
+            enc = emitter(blocks, decT[: len(blocks)])
+        else:
+            enc = [emit_from_decisions(b, decT[j])
+                   for j, b in enumerate(blocks)]
+        for j, s in enumerate(streams):
+            if t < len(s):
+                outs[j].append(enc[j])
+    return outs
 
 
 def pack_input(blocks: list[bytes], n_rows: int) -> tuple[np.ndarray,

@@ -65,6 +65,61 @@ def _walk_frame(frame: bytes):
     return info, payloads, raw_flags, csum, pos
 
 
+def compress_frames_wave(datas: list[bytes], *,
+                         max_dist: int = 2048,
+                         block_independent: bool = False,
+                         content_checksum: bool = True,
+                         interpret: bool | None = None) -> list[bytes]:
+    """Compress a batch of payloads into .lz4 frames on the 128-lane
+    wave ENCODE tier (64 KB-tier blocks, offsets capped at max_dist so
+    the frames also decode on the wave tiers). Linked (-BD) by default:
+    each lane's blocks see their stream history through the kernel's
+    mod-2^16 table (encode_wave_linked). The output is standard LZ4F,
+    decodable by reference liblz4/lz4 CLI."""
+    import struct as _struct
+
+    from lz4_tpu.block.encode_wave import (LANES, encode_wave_batch,
+                                           encode_wave_linked)
+    from lz4_tpu.frame.format import FrameInfo, write_frame_header
+    results: list[bytes] = []
+    for g in range(0, len(datas), LANES):
+        grp = [bytes(d) for d in datas[g: g + LANES]]
+        streams_raw = [[d[i: i + 65536]
+                        for i in range(0, max(len(d), 1), 65536)]
+                       for d in grp]
+        if block_independent:
+            flat = [b for s in streams_raw for b in s]
+            enc_flat = encode_wave_batch(flat, interpret=interpret,
+                                         max_dist=max_dist)
+            enc, k = [], 0
+            for s in streams_raw:
+                enc.append(enc_flat[k: k + len(s)])
+                k += len(s)
+        else:
+            enc = encode_wave_linked(streams_raw, interpret=interpret,
+                                     max_dist=max_dist)
+        for d, raws, comps in zip(grp, streams_raw, enc):
+            info = FrameInfo(block_size_id=4,
+                             block_independent=block_independent,
+                             content_checksum=content_checksum)
+            parts = [write_frame_header(info)]
+            for raw, comp in zip(raws, comps):
+                if len(comp) >= len(raw) and raw:
+                    # stored block beats expansion (LZ4F_makeBlock
+                    # fallback, lz4frame.c:883-908)
+                    parts.append(_struct.pack(
+                        "<I", len(raw) | 0x80000000))
+                    parts.append(raw)
+                else:
+                    parts.append(_struct.pack("<I", len(comp)))
+                    parts.append(comp)
+            parts.append(b"\x00\x00\x00\x00")
+            if content_checksum:
+                parts.append(_struct.pack("<I", xxh32(d, 0)))
+            results.append(b"".join(parts))
+    return results
+
+
 def decompress_frames_wave(frames: list[bytes], *,
                            interpret: bool | None = None,
                            byte_phase: bool = False) -> list[bytes]:

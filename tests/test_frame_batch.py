@@ -60,3 +60,55 @@ def test_corrupt_content_checksum_raises():
     f[-2] ^= 0xFF                      # content checksum byte
     with pytest.raises(FrameError):
         decompress_frames_wave([bytes(f)], interpret=True)
+
+
+def test_compress_frames_wave_roundtrip():
+    """Batch wave COMPRESSION surface: linked and independent turbo
+    frames round-trip through both the sequential decoder and the
+    wave batch decoder, and carry valid checksums."""
+    import numpy as np
+
+    from lz4_tpu.frame.batch import compress_frames_wave
+    from lz4_tpu.frame.reader import decompress_frame
+    rng = np.random.default_rng(9)
+    datas = [mixed_corpus(140000 + 9999 * i, seed=500 + i)
+             for i in range(3)]
+    datas += [b"", rng.integers(0, 256, 70000, np.uint8).tobytes()]
+    for indep in (False, True):
+        frames = compress_frames_wave(datas, block_independent=indep,
+                                      interpret=True)
+        assert [decompress_frame(f) for f in frames] == datas
+        assert decompress_frames_wave(frames, interpret=True) == datas
+
+
+def test_linked_wave_encode_offsets_capped():
+    from lz4_tpu.block.encode_wave import encode_wave_linked
+    d = mixed_corpus(200000, seed=77)
+    streams = encode_wave_linked(
+        [[d[i: i + 65536] for i in range(0, len(d), 65536)]],
+        interpret=True, max_dist=1024)
+    for comp in streams[0]:
+        p, mx = 0, 0
+        while p < len(comp):
+            tok = comp[p]
+            p += 1
+            ll = tok >> 4
+            if ll == 15:
+                while True:
+                    v = comp[p]
+                    p += 1
+                    ll += v
+                    if v != 255:
+                        break
+            p += ll
+            if p >= len(comp):
+                break
+            mx = max(mx, comp[p] | (comp[p + 1] << 8))
+            p += 2
+            if (tok & 15) == 15:
+                while True:
+                    v = comp[p]
+                    p += 1
+                    if v != 255:
+                        break
+        assert mx <= 1024
