@@ -544,6 +544,51 @@ def main() -> None:
     except Exception as e:
         _log(f"wave encode stage skipped: {e}")
 
+    # linked wave ENCODE (encode_wave_linked): round-2-style segment
+    # (full history tails) measured amortized — the encode half of the
+    # symmetric -BD turbo loop
+    wave_linked_enc_mbs = None
+    try:
+        if jax.devices()[0].platform == "tpu" and n >= 48 * 1024 * 1024:
+            from lz4_tpu.block.encode_wave import (
+                _encode_wave_linked_raw, pack_input)
+            wr = 2000 // 4 + 2
+            lblocks = [data[j * 376832 + 65536: j * 376832 + 131072]
+                       for j in range(128)]
+            linp, llens = pack_input(lblocks, 16384)
+            hbuf = np.zeros((128, wr * 4), np.uint8)
+            hlen = np.zeros((1, 128), np.int32)
+            for j in range(128):
+                hs = data[j * 376832 + 65536 - wr * 4:
+                          j * 376832 + 65536]
+                hbuf[j] = np.frombuffer(hs, np.uint8)
+                hlen[0, j] = wr * 4
+            hw = hbuf.reshape(128, wr, 4).astype(np.int32)
+            hwords = np.ascontiguousarray(
+                (hw[..., 0] | (hw[..., 1] << 8) | (hw[..., 2] << 16)
+                 | (hw[..., 3] << 24)).T)
+            args_l = (jnp.asarray(linp), jnp.asarray(llens),
+                      jnp.asarray(hwords), jnp.asarray(hlen))
+
+            def run_lenc():
+                return _encode_wave_linked_raw(
+                    *args_l, n_rows=16384, interpret=False,
+                    use_onehot=True, max_dist=2000)
+
+            r0 = run_lenc()
+            np.asarray(r0[-1, -1])
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                rs = [run_lenc() for _ in range(8)]
+                np.asarray(rs[-1][-1, -1])
+                best = min(best, (time.perf_counter() - t0 - 0.0245) / 8)
+            wave_linked_enc_mbs = round(128 * 65536 / 1e6 / best, 1)
+            _log(f"wave linked encode (history segments): "
+                 f"{wave_linked_enc_mbs} MB/s")
+    except Exception as e:
+        _log(f"wave linked encode stage skipped: {e}")
+
     # device HC batch throughput (r4 verdict #6: the "parity + batch
     # parallelism" claim needs a number): 32 x 64 KB blocks through the
     # Pallas chain kernel at levels 3 and 9
@@ -722,6 +767,7 @@ def main() -> None:
             "wave_encode_MBs": wave_enc_mbs,
             "wave_encode_size_vs_uncapped": wave_enc_ratio,
             "wave_encode_hb9_MBs": wave_enc9_mbs,
+            "wave_linked_encode_MBs": wave_linked_enc_mbs,
             "wave_emit_host_MBs": wave_emit_mbs,
             **hc_batch,
             "decode_ns_per_seq": dec_ns_per_seq,
