@@ -551,22 +551,14 @@ def main() -> None:
     try:
         if jax.devices()[0].platform == "tpu" and n >= 48 * 1024 * 1024:
             from lz4_tpu.block.encode_wave import (
-                _encode_wave_linked_raw, pack_input)
+                _encode_wave_linked_raw, pack_history, pack_input)
             wr = 2000 // 4 + 2
-            lblocks = [data[j * 376832 + 65536: j * 376832 + 131072]
-                       for j in range(128)]
+            lstreams = [[data[j * 376832: j * 376832 + 65536],
+                         data[j * 376832 + 65536: j * 376832 + 131072]]
+                        for j in range(128)]
+            lblocks = [s[1] for s in lstreams]
             linp, llens = pack_input(lblocks, 16384)
-            hbuf = np.zeros((128, wr * 4), np.uint8)
-            hlen = np.zeros((1, 128), np.int32)
-            for j in range(128):
-                hs = data[j * 376832 + 65536 - wr * 4:
-                          j * 376832 + 65536]
-                hbuf[j] = np.frombuffer(hs, np.uint8)
-                hlen[0, j] = wr * 4
-            hw = hbuf.reshape(128, wr, 4).astype(np.int32)
-            hwords = np.ascontiguousarray(
-                (hw[..., 0] | (hw[..., 1] << 8) | (hw[..., 2] << 16)
-                 | (hw[..., 3] << 24)).T)
+            hwords, hlen = pack_history(lstreams, 1, wr)
             args_l = (jnp.asarray(linp), jnp.asarray(llens),
                       jnp.asarray(hwords), jnp.asarray(hlen))
 

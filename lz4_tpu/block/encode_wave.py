@@ -206,11 +206,16 @@ def _encode_wave_kernel(inp_ref, lens_ref, *refs, n_rows: int,
             c2 = jax.lax.shift_right_logical(ent, 16) & 0xFFFF
             if linked:
                 # mod-2^16 distances; candidates may sit inside the
-                # available history (d <= q + hlen)
+                # available history (d <= q + hlen). 0xFFFF is the
+                # table-init sentinel AND can never be a real entry
+                # (position -1's 4-gram spans the history/block seam,
+                # which the warmup skips), so exclude it explicitly.
                 d1 = (q - c1) & 0xFFFF
                 d2 = (q - c2) & 0xFFFF
-                ok1 = (d1 >= 1) & (d1 <= max_dist) & (d1 <= q + hl)
-                ok2 = (d2 >= 1) & (d2 <= max_dist) & (d2 <= q + hl)
+                ok1 = ((d1 >= 1) & (d1 <= max_dist) & (d1 <= q + hl)
+                       & (c1 != 0xFFFF))
+                ok2 = ((d2 >= 1) & (d2 <= max_dist) & (d2 <= q + hl)
+                       & (c2 != 0xFFFF))
                 cnd = q - jnp.where(ok1, d1, d2)
             else:
                 ok1 = (q - c1 >= 1) & (q - c1 <= max_dist)
@@ -344,6 +349,33 @@ def _encode_wave_linked_raw(inp, lens, hist, hlen, *, n_rows: int,
     )(inp, lens, hist, hlen)
 
 
+def pack_history(streams: list[list[bytes]], t: int,
+                 wr: int) -> tuple[np.ndarray, np.ndarray]:
+    """History tails for round t: right-aligned interleaved (wr, 128)
+    int32 LE words + (1, 128) byte lengths. Joins only the trailing
+    blocks needed to cover wr*4 bytes — O(1) per round, not O(t)."""
+    hbuf = np.zeros((LANES, wr * 4), np.uint8)
+    hlen = np.zeros((1, LANES), np.int32)
+    if t > 0:
+        for j, s in enumerate(streams):
+            parts: list[bytes] = []
+            got = 0
+            for b in reversed(s[:t]):
+                parts.append(b)
+                got += len(b)
+                if got >= wr * 4:
+                    break
+            hs = b"".join(reversed(parts))[-(wr * 4):]
+            if hs:
+                hbuf[j, wr * 4 - len(hs):] = np.frombuffer(hs, np.uint8)
+                hlen[0, j] = len(hs)
+    hw = hbuf.reshape(LANES, wr, 4).astype(np.int32)
+    hwords = np.ascontiguousarray(
+        (hw[..., 0] | (hw[..., 1] << 8) | (hw[..., 2] << 16)
+         | (hw[..., 3] << 24)).T)
+    return hwords, hlen
+
+
 def encode_wave_linked(streams: list[list[bytes]], *,
                        interpret: bool | None = None,
                        use_onehot: bool | None = None,
@@ -380,19 +412,7 @@ def encode_wave_linked(streams: list[list[bytes]], *,
             n_rows *= 4
         wr = min(max_dist // 4 + 2, n_rows + 1)
         inp, lens = pack_input(blocks, n_rows)
-        hbuf = np.zeros((LANES, wr * 4), np.uint8)
-        hlen = np.zeros((1, LANES), np.int32)
-        if t > 0:
-            for j, s in enumerate(streams):
-                hs = b"".join(s[:t])[-(wr * 4):]
-                if hs:
-                    hbuf[j, wr * 4 - len(hs):] = np.frombuffer(
-                        hs, np.uint8)
-                    hlen[0, j] = len(hs)
-        hw = hbuf.reshape(LANES, wr, 4).astype(np.int32)
-        hwords = np.ascontiguousarray(
-            (hw[..., 0] | (hw[..., 1] << 8) | (hw[..., 2] << 16)
-             | (hw[..., 3] << 24)).T)
+        hwords, hlen = pack_history(streams, t, wr)
         dec = np.asarray(_encode_wave_linked_raw(
             jnp.asarray(inp), jnp.asarray(lens), jnp.asarray(hwords),
             jnp.asarray(hlen), n_rows=n_rows, interpret=bool(interpret),

@@ -76,8 +76,6 @@ def compress_frames_wave(datas: list[bytes], *,
     each lane's blocks see their stream history through the kernel's
     mod-2^16 table (encode_wave_linked). The output is standard LZ4F,
     decodable by reference liblz4/lz4 CLI."""
-    import struct as _struct
-
     from lz4_tpu.block.encode_wave import (LANES, encode_wave_batch,
                                            encode_wave_linked)
     from lz4_tpu.frame.format import FrameInfo, write_frame_header
@@ -107,15 +105,15 @@ def compress_frames_wave(datas: list[bytes], *,
                 if len(comp) >= len(raw) and raw:
                     # stored block beats expansion (LZ4F_makeBlock
                     # fallback, lz4frame.c:883-908)
-                    parts.append(_struct.pack(
-                        "<I", len(raw) | 0x80000000))
+                    parts.append(struct.pack(
+                        "<I", len(raw) | BLOCK_UNCOMPRESSED_FLAG))
                     parts.append(raw)
                 else:
-                    parts.append(_struct.pack("<I", len(comp)))
+                    parts.append(struct.pack("<I", len(comp)))
                     parts.append(comp)
             parts.append(b"\x00\x00\x00\x00")
             if content_checksum:
-                parts.append(_struct.pack("<I", xxh32(d, 0)))
+                parts.append(struct.pack("<I", xxh32(d, 0)))
             results.append(b"".join(parts))
     return results
 

@@ -112,3 +112,22 @@ def test_linked_wave_encode_offsets_capped():
                     if v != 255:
                         break
         assert mx <= 1024
+
+
+def test_compress_frames_wave_reference_interop():
+    """The turbo batch COMPRESSION surface's frames must decode with
+    the reference lz4 CLI (the property the docstring advertises)."""
+    import sys
+    sys.path.insert(0, "tests")
+    import ref_oracle
+    from lz4_tpu.frame.batch import compress_frames_wave
+    if not ref_oracle.ensure_built():
+        pytest.skip("reference CLI unavailable")
+    datas = [mixed_corpus(150000, seed=600), b"",
+             mixed_corpus(65536 * 2, seed=601)]
+    for indep in (False, True):
+        frames = compress_frames_wave(datas, block_independent=indep,
+                                      interpret=True)
+        for d, f in zip(datas, frames):
+            r = ref_oracle.ref_cli(["-d", "-c"], stdin=f)
+            assert r.stdout == d

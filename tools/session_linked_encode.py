@@ -1,7 +1,7 @@
 """On-chip measurement session (round 5) — provenance for the numbers in docs/tpu_perf_notes.md. Run with the real chip idle."""
 import json, os, sys, time
 import numpy as np
-sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
