@@ -191,6 +191,29 @@ def main() -> int:
                                   byte_phase=r.random() < 0.5)
         assert outs[0] == raw, "wave linked mismatch"
 
+    def frames_batch_check(r):
+        """Random payload batch through the turbo batch surfaces
+        (compress_frames_wave -> decompress_frames_wave + the
+        sequential decoder + liblz4 CLI oracle when available)."""
+        from lz4_tpu.frame.batch import (compress_frames_wave,
+                                         decompress_frames_wave)
+        datas = []
+        for _ in range(r.randrange(2, 5)):
+            raw = rand_payload(r)
+            reps = r.choice([1, 1, 3])
+            datas.append((raw * reps)[: r.randrange(1, 200000)]
+                         if raw else b"")
+        indep = r.random() < 0.4
+        frames = compress_frames_wave(datas, block_independent=indep)
+        got = decompress_frames_wave(frames)
+        assert got == datas, "frames batch wave decode mismatch"
+        assert [decompress_frame(f) for f in frames] == datas, \
+            "frames batch sequential decode mismatch"
+        if oracle and r.random() < 0.3:
+            i = r.randrange(len(frames))
+            rr = ref_oracle.ref_cli(["-d", "-c"], stdin=frames[i])
+            assert rr.stdout == datas[i], "liblz4 rejects turbo frame"
+
     def ref_decode(comp, cap, d):
         try:
             return ref_oracle.ref_decompress_block(comp, cap,
@@ -252,6 +275,10 @@ def main() -> int:
                 import jax as _j
                 if _j.devices()[0].platform == "tpu":
                     wave_linked_check(r)
+            if args.wave and not args.cpu and r.random() < 0.08:
+                import jax as _j
+                if _j.devices()[0].platform == "tpu":
+                    frames_batch_check(r)
 
             # --- differential decode of a MUTATED stream -------------
             if len(comp) > 4 and oracle:
